@@ -1,0 +1,30 @@
+package graft.url
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen-callable UTF8String adapters for [[PyUrl]]. Spark's generated Java
+  * calls these via the static forwarders (`graft.url.UrlOps.cleanUrl(...)`),
+  * which keeps every URL expression inside whole-stage codegen.
+  */
+object UrlOps {
+  def cleanUrl(u: UTF8String): UTF8String =
+    UTF8String.fromString(PyUrl.cleanUrl(u.toString))
+
+  def canonicalizeUrl(u: UTF8String): UTF8String =
+    UTF8String.fromString(PyUrl.canonicalizeUrl(u.toString))
+
+  def netloc(u: UTF8String): UTF8String =
+    UTF8String.fromString(PyUrl.netloc(u.toString))
+
+  def scheme(u: UTF8String): UTF8String =
+    UTF8String.fromString(PyUrl.scheme(u.toString))
+
+  def host(u: UTF8String): UTF8String =
+    UTF8String.fromString(PyUrl.host(u.toString))
+
+  def resolve(base: UTF8String, href: UTF8String): UTF8String =
+    UTF8String.fromString(PyUrl.urljoin(base.toString, href.toString))
+
+  def inDomain(u: UTF8String, domain: UTF8String): Boolean =
+    PyUrl.inDomain(u.toString, domain.toString)
+}
