@@ -1,0 +1,274 @@
+package graft.html
+
+import java.util.regex.Pattern
+
+/** Event callback for [[HtmlTokenizer]]. Attribute values arrive
+  * entity-decoded; valueless attributes arrive as None (the bs4 html.parser
+  * builder then normalizes None → "").
+  */
+trait HtmlEvents {
+  def startTag(name: String, attrs: List[(String, Option[String])]): Unit = ()
+  def startEndTag(name: String, attrs: List[(String, Option[String])]): Unit =
+    startTag(name, attrs)
+  def endTag(name: String): Unit = ()
+  def data(text: String): Unit = ()
+  def comment(text: String): Unit = ()
+  def decl(text: String): Unit = ()
+  def pi(text: String): Unit = ()
+  def unknownDecl(text: String): Unit = ()
+}
+
+/** From-scratch Scala reimplementation of CPython 3.11 `html.parser
+  * .HTMLParser` tokenization with `convert_charrefs=True` — the exact engine
+  * bs4's `'html.parser'` tree builder delegates to (reference use:
+  * crawler.py:32). Single-shot parse ≡ `feed(doc); close()` (goahead with
+  * end=True). Never throws on malformed input (SURVEY.md §2 O-16).
+  *
+  * Divergence note (documented fixture restriction, SURVEY.md §5.2): regex
+  * `\s` here is ASCII whitespace; Python's str-mode `\s` also matches some
+  * non-ASCII whitespace. Fixtures are restricted to ASCII whitespace.
+  */
+object HtmlTokenizer {
+
+  private val CDATA_CONTENT_ELEMENTS = Set("script", "style")
+
+  private val starttagopen = Pattern.compile("<[a-zA-Z]")
+  private val tagfindTolerant =
+    Pattern.compile("([a-zA-Z][^\\t\\n\\r\\f />\\x00]*)(?:\\s|/(?!>))*")
+  private val attrfindTolerant = Pattern.compile(
+    "((?<=['\"\\s/])[^\\s/>][^\\s/=>]*)(\\s*=+\\s*" +
+      "('[^']*'|\"[^\"]*\"|(?!['\"])[^>\\s]*))?(?:\\s|/(?!>))*")
+  private val locatestarttagendTolerant = Pattern.compile(
+    "<[a-zA-Z][^\\t\\n\\r\\f />\\x00]*" + // tag name
+      "(?:[\\s/]*" + // optional whitespace before attribute name
+      "(?:(?<=['\"\\s/])[^\\s/>][^\\s/=>]*" + // attribute name
+      "(?:\\s*=+\\s*" + // value indicator
+      "(?:'[^']*'" + // LITA-enclosed value
+      "|\"[^\"]*\"" + // LIT-enclosed value
+      "|(?!['\"])[^>\\s]*" + // bare value
+      ")" +
+      "(?:\\s*,)*" + // possibly followed by a comma
+      ")?(?:\\s|/(?!>))*" +
+      ")*" +
+      ")?" +
+      "\\s*") // trailing whitespace
+  private val endtagfind = Pattern.compile("</\\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\\s*>")
+  private val commentclose = Pattern.compile("--\\s*>")
+  private val markedSectionClose = Pattern.compile("]\\s*]\\s*>")
+  private val msMarkedSectionClose = Pattern.compile("]\\s*>")
+  private val declnameMatch = Pattern.compile("[a-zA-Z][-_.a-zA-Z0-9]*\\s*")
+
+  def parse(rawdata: String, cb: HtmlEvents): Unit = {
+    val n = rawdata.length
+    var i = 0
+    var cdataElem: String = null
+    var cdataClose: Pattern = null
+
+    def setCdataMode(elem: String): Unit = {
+      cdataElem = elem.toLowerCase(java.util.Locale.ROOT)
+      cdataClose = Pattern.compile("</\\s*" + cdataElem, Pattern.CASE_INSENSITIVE)
+    }
+    def clearCdataMode(): Unit = { cdataElem = null; cdataClose = null }
+
+    def find(s: String, from: Int): Int = rawdata.indexOf(s, from)
+    def startsWith(s: String, at: Int): Boolean = rawdata.startsWith(s, at)
+
+    // ---- parse_starttag + check_for_whole_start_tag -----------------------
+    // returns endpos, or -1 ≡ "incomplete at buffer end"
+    def checkForWholeStartTag(i: Int): Int = {
+      val m = locatestarttagendTolerant.matcher(rawdata)
+      m.region(i, n)
+      m.useTransparentBounds(true)
+      // Pattern.match from position: use lookingAt on region
+      if (m.lookingAt()) {
+        val j = m.end()
+        val next = if (j < n) rawdata.charAt(j) else '\u0000'
+        if (j < n && next == '>') return j + 1
+        if (j < n && next == '/') {
+          if (startsWith("/>", j)) return j + 2
+          return -1 // "/" then buffer boundary or bogus — CPython returns -1 / raises; be lenient
+        }
+        if (j >= n) return -1 // end of input
+        if ((next >= 'a' && next <= 'z') || (next >= 'A' && next <= 'Z') || next == '=' || next == '/')
+          return -1
+        if (j > i) return j
+      }
+      -1 // CPython asserts unreachable; stay lenient
+    }
+
+    def parseStarttag(i: Int): Int = {
+      val endpos = checkForWholeStartTag(i)
+      if (endpos < 0) return endpos
+      var attrs = List.newBuilder[(String, Option[String])]
+      val tm = tagfindTolerant.matcher(rawdata)
+      tm.region(i + 1, n)
+      tm.useTransparentBounds(true)
+      if (!tm.lookingAt()) return endpos // unreachable per CPython assert
+      var k = tm.end()
+      val tag = tm.group(1).toLowerCase(java.util.Locale.ROOT)
+      var attrsDone = false
+      while (k < endpos && !attrsDone) {
+        val am = attrfindTolerant.matcher(rawdata)
+        am.region(k, n)
+        am.useTransparentBounds(true)
+        // CPython uses match (anchored at k) with no region end, so quoted
+        // values may run past endpos; region end n reproduces that.
+        if (!am.lookingAt()) { attrsDone = true } // CPython: break, k unchanged
+        else {
+          val attrname = am.group(1)
+          val rest = am.group(2)
+          var attrvalue = am.group(3)
+          var valueOpt: Option[String] = null
+          if (rest == null) valueOpt = None
+          else {
+            if (attrvalue != null && attrvalue.length >= 2 &&
+              ((attrvalue.charAt(0) == '\'' && attrvalue.charAt(attrvalue.length - 1) == '\'') ||
+                (attrvalue.charAt(0) == '"' && attrvalue.charAt(attrvalue.length - 1) == '"')))
+              attrvalue = attrvalue.substring(1, attrvalue.length - 1)
+            // CPython: `if attrvalue: attrvalue = unescape(attrvalue)`
+            valueOpt = Some(if (attrvalue != null && attrvalue.nonEmpty) Entities.unescape(attrvalue) else attrvalue)
+          }
+          attrs += ((attrname.toLowerCase(java.util.Locale.ROOT), valueOpt))
+          k = am.end()
+        }
+      }
+      val endText = rawdata.substring(math.min(k, endpos), endpos).trim
+      if (endText != ">" && endText != "/>") {
+        cb.data(rawdata.substring(i, endpos))
+        return endpos
+      }
+      if (endText.endsWith("/>")) cb.startEndTag(tag, attrs.result())
+      else {
+        cb.startTag(tag, attrs.result())
+        if (CDATA_CONTENT_ELEMENTS.contains(tag)) setCdataMode(tag)
+      }
+      endpos
+    }
+
+    // ---- parse_endtag ------------------------------------------------------
+    def parseBogusComment(i: Int): Int = {
+      val pos = find(">", i + 2)
+      if (pos == -1) return -1
+      cb.comment(rawdata.substring(i + 2, pos))
+      pos + 1
+    }
+
+    def parseEndtag(i: Int): Int = {
+      val gm = Pattern.compile(">").matcher(rawdata)
+      if (!gm.find(i + 1)) return -1
+      val gtpos = gm.end()
+      val em = endtagfind.matcher(rawdata)
+      em.region(i, n)
+      em.useTransparentBounds(true)
+      if (!em.lookingAt()) {
+        if (cdataElem != null) { cb.data(rawdata.substring(i, gtpos)); return gtpos }
+        val nm = tagfindTolerant.matcher(rawdata)
+        nm.region(i + 2, n)
+        nm.useTransparentBounds(true)
+        if (!nm.lookingAt()) {
+          if (rawdata.substring(i, math.min(i + 3, n)) == "</>") return i + 3
+          return parseBogusComment(i)
+        }
+        val tagname = nm.group(1).toLowerCase(java.util.Locale.ROOT)
+        val gt = find(">", nm.end())
+        cb.endTag(tagname)
+        return gt + 1 // CPython returns gtpos+1 even when gt == -1 → 0... gt>=0 in practice since gm found one
+      }
+      val elem = em.group(1).toLowerCase(java.util.Locale.ROOT)
+      if (cdataElem != null && elem != cdataElem) {
+        cb.data(rawdata.substring(i, gtpos))
+        return gtpos
+      }
+      cb.endTag(elem)
+      clearCdataMode()
+      gtpos
+    }
+
+    // ---- declarations ------------------------------------------------------
+    def parseComment(i: Int): Int = {
+      val m = commentclose.matcher(rawdata)
+      if (!m.find(i + 4)) return -1
+      cb.comment(rawdata.substring(i + 4, m.start()))
+      m.end()
+    }
+
+    def parsePi(i: Int): Int = {
+      val pos = find(">", i + 2)
+      if (pos == -1) return -1
+      cb.pi(rawdata.substring(i + 2, pos))
+      pos + 1
+    }
+
+    def parseMarkedSection(i: Int): Int = {
+      val dm = declnameMatch.matcher(rawdata)
+      dm.region(i + 3, n)
+      if (!dm.lookingAt()) return parseBogusComment(i) // lenient vs CPython error()
+      val sectName = dm.group().trim.toLowerCase(java.util.Locale.ROOT)
+      val close =
+        if (Set("temp", "cdata", "ignore", "include", "rcdata").contains(sectName))
+          markedSectionClose
+        else msMarkedSectionClose // if/else/endif and (leniently) anything else
+      val m = close.matcher(rawdata)
+      if (!m.find(i + 3)) return -1
+      cb.unknownDecl(rawdata.substring(i + 3, m.start()))
+      m.end()
+    }
+
+    def parseHtmlDeclaration(i: Int): Int = {
+      if (startsWith("<!--", i)) parseComment(i)
+      else if (startsWith("<![", i)) parseMarkedSection(i)
+      else if (i + 9 <= n &&
+        rawdata.substring(i, i + 9).toLowerCase(java.util.Locale.ROOT) == "<!doctype") {
+        val gtpos = find(">", i + 9)
+        if (gtpos == -1) return -1
+        cb.decl(rawdata.substring(i + 2, gtpos))
+        gtpos + 1
+      } else parseBogusComment(i)
+    }
+
+    // ---- goahead(end=True) -------------------------------------------------
+    var break2 = false
+    while (i < n && !break2) {
+      var j = 0
+      if (cdataElem == null) {
+        j = find("<", i)
+        if (j < 0) j = n
+      } else {
+        val m = cdataClose.matcher(rawdata)
+        if (m.find(i)) j = m.start()
+        else { break2 = true; j = i } // unterminated cdata: trailing data dropped
+      }
+      if (!break2) {
+        if (i < j) {
+          val text = rawdata.substring(i, j)
+          cb.data(if (cdataElem == null) Entities.unescape(text) else text)
+        }
+        i = j
+        if (i < n) {
+          var k = 0
+          if (startsWith("<", i)) {
+            val sm = starttagopen.matcher(rawdata)
+            sm.region(i, n)
+            if (sm.lookingAt()) k = parseStarttag(i)
+            else if (startsWith("</", i)) k = parseEndtag(i)
+            else if (startsWith("<!--", i)) k = parseComment(i)
+            else if (startsWith("<?", i)) k = parsePi(i)
+            else if (startsWith("<!", i)) k = parseHtmlDeclaration(i)
+            else { cb.data("<"); k = i + 1 }
+            if (k < 0) {
+              // end=True recovery: emit raw text up to next > (incl.) or <
+              k = find(">", i + 1)
+              if (k < 0) {
+                k = find("<", i + 1)
+                if (k < 0) k = i + 1
+              } else k += 1
+              val text = rawdata.substring(i, k)
+              cb.data(if (cdataElem == null) Entities.unescape(text) else text)
+            }
+          }
+          i = k
+        }
+      }
+    }
+  }
+}
