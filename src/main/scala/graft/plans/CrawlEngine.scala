@@ -1,0 +1,265 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.html.htmlfns._
+import graft.plans.planfns._
+import graft.sketch.BloomSketch
+import graft.snapshot.SnapshotStore
+import graft.snapshot.SnapshotStore.Snapshot
+import graft.url.urlfns._
+
+/** Engine configuration.
+  *
+  * @param domain          scope suffix (crawler.py:12; O-8 endswith filter)
+  * @param budget          per-host per-epoch politeness budget (north_rule);
+  *                        None ⇒ ∞ ⇒ reference-exact trace mode (§A.1)
+  * @param numPartitions   explicit hash-partition count for frontier state
+  * @param saltBuckets     pre-aggregation salt for the per-host budget window
+  *                        (hot-host skew mitigation, SURVEY.md §4.3)
+  * @param bloomFpp        seen-sketch false-positive rate
+  * @param bloomMinSeen    below this seen-set size, skip sketch build (the
+  *                        anti-join alone is cheaper than a treeAggregate)
+  */
+final case class CrawlConfig(
+    domain: String,
+    budget: Option[Int] = None,
+    numPartitions: Int = 32,
+    saltBuckets: Int = 16,
+    bloomFpp: Double = 0.01,
+    bloomMinSeen: Long = 100000L,
+    maxEpochs: Int = Int.MaxValue)
+
+final case class CrawlResult(
+    trace: DataFrame, // (epoch, url) — visit order = orderBy(epoch, url) (§A.1)
+    links: DataFrame, // (url) — crawler.py all_links equivalent
+    visited: DataFrame, // (epoch, url)
+    epochs: Int,
+    lastSnapshot: Snapshot)
+
+/** Distributed level-synchronous BFS crawl over a pages table — the Spark
+  * re-expression of crawler.py's worker loop (SURVEY.md §3.4). One epoch =
+  * one deterministic job chain:
+  *
+  *   frontier(e) → politeness window (budget, salted two-phase)
+  *              → fetch left-join pages on url
+  *              → ExtractHrefs → explode → UrlResolve → scheme filter → CleanUrl
+  *              → links delta (anti-join links)
+  *              → in-domain filter → robots gate (broadcast)
+  *              → ∪ deferred → bloom-prefiltered anti-join vs visited
+  *              → frontier(e+1); snapshot commit
+  *
+  * State (visited / links / suppressed) is append-only parquet deltas under
+  * the snapshot store; every epoch's outputs are written once and re-read
+  * from disk, truncating lineage and making resume exact.
+  */
+final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
+  import spark.implicits._
+
+  private val P = config.numPartitions
+
+  /** robots.txt rules per host, parsed once from the pages table. */
+  def robotsTable(pages: DataFrame): DataFrame = {
+    val raw = pages
+      .filter(col("url").endsWith("/robots.txt"))
+      .select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+    raw.flatMap { case (url, html) =>
+      if (html == null) None
+      else {
+        val p = graft.url.PyUrl.urlparse(url)
+        if (p.path != "/robots.txt") None
+        else {
+          val body = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+          val rules = graft.robots.Robots.parse(body)
+          Some((graft.robots.Robots.hostKey(url),
+            rules.map(_.prefix).toArray, rules.map(_.allow).toArray))
+        }
+      }
+    }.toDF("host", "prefixes", "allows")
+  }
+
+  /** Per-host budget gate: salted two-phase top-K so one hot host cannot
+    * serialize the window shuffle. Phase 1 ranks within (host, salt) — the
+    * global per-host top-K is a subset of the per-salt top-Ks — phase 2
+    * ranks the ≤ K·S survivors exactly. Returns (fetchNow, deferred).
+    */
+  private def politenessSplit(frontier: DataFrame): (DataFrame, DataFrame, Seq[DataFrame]) =
+    config.budget match {
+      case None => (frontier, frontier.limit(0), Nil)
+      case Some(b) =>
+        val salted = frontier.withColumn(
+          "salt", pmod(xxhash64(col("url")), lit(config.saltBuckets)))
+        val r1 = salted.withColumn("r1",
+          row_number().over(Window.partitionBy("host", "salt").orderBy("url")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val survivors = r1.filter(col("r1") <= b)
+        val r2 = survivors.withColumn("r2",
+          row_number().over(Window.partitionBy("host").orderBy("url")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val fetchNow = r2.filter(col("r2") <= b).select("url", "host")
+        val defer = r1.filter(col("r1") > b).select("url", "host")
+          .union(r2.filter(col("r2") > b).select("url", "host"))
+        (fetchNow, defer, Seq(r1, r2))
+    }
+
+  /** candidates − seen, with the O-7b bloom fast path: build the sketch per
+    * partition, merge via treeAggregate, broadcast; !mightContain rows skip
+    * the anti-join entirely.
+    */
+  private def dedupAgainst(candidates: DataFrame, seen: DataFrame,
+      seenCount: Long): DataFrame = {
+    if (seenCount < config.bloomMinSeen) {
+      candidates.join(seen.select("url"), Seq("url"), "left_anti")
+    } else {
+      val sketch = BloomSketch.build(
+        seen.select("url").as[String].rdd, seenCount, config.bloomFpp)
+      val bcast = spark.sparkContext.broadcast(sketch)
+      val flagged = candidates.withColumn(
+        "maybe_seen", bloom_might_contain(bcast, col("url")))
+      val definitelyNew = flagged.filter(!col("maybe_seen")).drop("maybe_seen")
+      val maybeSeen = flagged.filter(col("maybe_seen")).drop("maybe_seen")
+        .join(seen.select("url"), Seq("url"), "left_anti")
+      definitelyNew.union(maybeSeen)
+    }
+  }
+
+  /** Run the crawl to fixpoint (≡ queue.join(), crawler.py:85), committing a
+    * snapshot per epoch under `warehouse`. Resumes from the newest valid
+    * snapshot if one exists.
+    */
+  def run(pages: DataFrame, seedUrl: String, warehouse: String): CrawlResult = {
+    val store = new SnapshotStore(spark, warehouse)
+    val robots = robotsTable(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    robots.count()
+
+    val seedAllowed = {
+      val rules = robots.filter(col("host") === graft.robots.Robots.hostKey(seedUrl))
+        .as[(String, Array[String], Array[Boolean])].collect()
+      rules.isEmpty || graft.robots.Robots.allowed(seedUrl,
+        rules.head._2.zip(rules.head._3).map { case (p, a) => graft.robots.Robots.Rule(p, a) }.toSeq)
+    }
+
+    var snapshot: Snapshot = null
+    var frontier: DataFrame = null
+    var epoch = 0
+
+    store.latest() match {
+      case Some(s) =>
+        snapshot = s
+        epoch = s.epoch + 1
+        frontier = store.readTable(s, "frontier")
+      case None =>
+        val seedDf =
+          (if (seedAllowed) Seq((seedUrl, graft.robots.Robots.hostKey(seedUrl))) else Nil)
+            .toDF("url", "host")
+        val suppressedSeed =
+          (if (seedAllowed) Nil else Seq(seedUrl)).toDF("url")
+        // epoch "-1" bootstrap snapshot: seed frontier, empty state
+        val fState = store.writeDelta("frontier", 0, seedDf, None, fullRewrite = true)
+        val vState = store.writeDelta("visited", -1, Seq.empty[(Int, String)].toDF("epoch", "url"), None)
+        val lState = store.writeDelta("links", -1, Seq.empty[String].toDF("url"), None)
+        val sState = store.writeDelta("suppressed", -1, suppressedSeed, None)
+        snapshot = store.commit(-1, Map(
+          "frontier" -> fState, "visited" -> vState,
+          "links" -> lState, "suppressed" -> sState), Map("seed" -> 1L))
+        frontier = store.readTable(snapshot, "frontier")
+        epoch = 0
+    }
+
+    var frontierCount = frontier.count()
+
+    while (frontierCount > 0 && epoch < config.maxEpochs) {
+      val t0 = System.nanoTime()
+      val visitedSoFar = store.readTable(snapshot, "visited")
+      val linksSoFar = store.readTable(snapshot, "links")
+      val suppressedSoFar = store.readTable(snapshot, "suppressed")
+      val visitedRows = snapshot.tables("visited").totalRows
+
+      // 1. politeness gate
+      val (fetchNowRaw, defer, gateCaches) = politenessSplit(
+        frontier.repartition(P, col("url")))
+
+      // 2. visited delta = fetched this epoch (written first, re-read below)
+      val vState = store.writeDelta("visited", epoch,
+        fetchNowRaw.select(lit(epoch).as("epoch"), col("url")),
+        Some(snapshot.tables("visited")))
+      val fetchNow = spark.read.parquet(s"$warehouse/visited/epoch=$epoch")
+
+      // 3. fetch join + extract + clean (crawler.py:30-42)
+      val fetched = fetchNow.select("url").join(pages.select("url", "html"), Seq("url"), "left")
+      val cleanLinks = fetched
+        .select(col("url").as("page_url"), explode_outer(extract_hrefs(col("html"))).as("href"))
+        .filter(col("href").isNotNull)
+        .withColumn("joined", url_resolve(col("page_url"), col("href")))
+        .filter(url_scheme(col("joined")).isin("http", "https"))
+        .select(clean_url(col("joined")).as("url"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // 4. links delta (O-10 union-distinct, incremental form)
+      val newLinks = cleanLinks.join(linksSoFar.select("url"), Seq("url"), "left_anti")
+      val lState = store.writeDelta("links", epoch, newLinks, Some(snapshot.tables("links")))
+
+      // 5. in-domain + robots gates
+      val inDom = cleanLinks
+        .filter(url_in_domain(col("url"), lit(config.domain)))
+        .withColumn("host", host_key(col("url")))
+      val gated = inDom
+        .join(broadcast(robots), Seq("host"), "left")
+        .withColumn("allowed",
+          coalesce(robots_allowed(col("url"), col("prefixes"), col("allows")), lit(true)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val newSuppressed = gated.filter(!col("allowed"))
+        .select("url")
+        .join(suppressedSoFar.select("url"), Seq("url"), "left_anti")
+        .distinct()
+      val sState = store.writeDelta("suppressed", epoch, newSuppressed,
+        Some(snapshot.tables("suppressed")))
+      val suppressedAll = spark.read.parquet(sState.files: _*)
+
+      // 6. next frontier = (allowed ∪ deferred) − visited(≤e) − suppressed(≤e)
+      val candidates = gated.filter(col("allowed")).select("url", "host")
+        .union(defer)
+        .dropDuplicates("url")
+      val visitedAll = visitedSoFar.select("url")
+        .union(fetchNow.select("url"))
+      val next = dedupAgainst(candidates, visitedAll, visitedRows + vState.deltaRows)
+        .join(suppressedAll.select("url"), Seq("url"), "left_anti")
+        .repartition(P, col("url"))
+      val fState = store.writeDelta("frontier", epoch + 1, next,
+        Some(snapshot.tables("frontier")), fullRewrite = true)
+
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      snapshot = store.commit(epoch, Map(
+        "frontier" -> fState, "visited" -> vState,
+        "links" -> lState, "suppressed" -> sState),
+        Map(
+          "urls_in" -> frontierCount,
+          "fetched" -> vState.deltaRows,
+          "deferred" -> (frontierCount - vState.deltaRows),
+          "new_links" -> lState.deltaRows,
+          "new_suppressed" -> sState.deltaRows,
+          "next_frontier" -> fState.deltaRows,
+          "wall_ms" -> wallMs))
+
+      cleanLinks.unpersist()
+      gated.unpersist()
+      gateCaches.foreach(_.unpersist())
+      frontier = store.readTable(snapshot, "frontier")
+      frontierCount = fState.deltaRows
+      epoch += 1
+    }
+
+    val visited = store.readTable(snapshot, "visited")
+    CrawlResult(
+      trace = visited.orderBy("epoch", "url"),
+      links = store.readTable(snapshot, "links"),
+      visited = visited,
+      epochs = epoch,
+      lastSnapshot = snapshot)
+  }
+}

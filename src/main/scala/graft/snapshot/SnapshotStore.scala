@@ -1,0 +1,166 @@
+package graft.snapshot
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Self-built Iceberg-semantics layer (SURVEY.md §1.4): Parquet data files +
+  * JSON snapshot manifests. No Iceberg runtime jar exists in this sandbox,
+  * so snapshot/manifest/lineage semantics are implemented from scratch
+  * (~200 LoC) and are swappable for real Iceberg later.
+  *
+  * Layout:
+  *   root/<table>/epoch=N/part-*.parquet      append-only epoch deltas
+  *   root/metadata/snap-N.json                one manifest per epoch
+  *
+  * A manifest records snapshot_id, parent_id, epoch, per-table FULL data-file
+  * list (parent's files + this epoch's delta files → per-partition lineage),
+  * per-table delta row counts, and the epoch metrics. Commit = write data
+  * files, then write tmp manifest + atomic rename (single-FS atomic publish).
+  * Resume = newest valid manifest; reads go through the manifest's file list,
+  * so uncommitted (crashed) epoch directories are invisible — exact resume.
+  */
+object SnapshotStore {
+  final case class TableState(files: Seq[String], deltaRows: Long, totalRows: Long)
+  final case class Snapshot(
+      snapshotId: Long,
+      parentId: Long,
+      epoch: Int,
+      tables: Map[String, TableState],
+      metrics: Map[String, Long])
+}
+
+final class SnapshotStore(spark: SparkSession, val root: String) {
+  import SnapshotStore._
+
+  private val mapper = new ObjectMapper
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def fs(p: Path): FileSystem = p.getFileSystem(hconf)
+
+  private def metaDir = new Path(root, "metadata")
+
+  /** Write `delta` as this epoch's data files for `table`; returns the new
+    * cumulative state given the parent state. `fullRewrite` tables (e.g. the
+    * frontier) list only this epoch's files.
+    */
+  def writeDelta(table: String, epoch: Int, delta: DataFrame,
+      parent: Option[TableState], fullRewrite: Boolean = false): TableState = {
+    val dir = new Path(new Path(root, table), s"epoch=$epoch")
+    delta.write.mode("overwrite").parquet(dir.toString)
+    val f = fs(dir)
+    val files = f.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+      .sorted
+    val deltaRows = spark.read.parquet(dir.toString).count()
+    val parentFiles = if (fullRewrite) Nil else parent.map(_.files).getOrElse(Nil)
+    val parentRows = if (fullRewrite) 0L else parent.map(_.totalRows).getOrElse(0L)
+    TableState(parentFiles ++ files, deltaRows, parentRows + deltaRows)
+  }
+
+  /** Read a table through the manifest's file list (never the directory). */
+  def readTable(s: Snapshot, table: String): DataFrame = {
+    val st = s.tables(table)
+    if (st.files.isEmpty)
+      throw new IllegalStateException(s"table $table has no files in snapshot ${s.snapshotId}")
+    spark.read.parquet(st.files: _*)
+  }
+
+  def readTableOrEmpty(s: Snapshot, table: String, schemaOf: DataFrame): DataFrame = {
+    val st = s.tables.get(table)
+    if (st.isEmpty || st.get.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf.schema)
+    else readTable(s, table)
+  }
+
+  def commit(epoch: Int, tables: Map[String, TableState],
+      metrics: Map[String, Long]): Snapshot = {
+    val parent = latest()
+    val snap = Snapshot(
+      snapshotId = epoch.toLong,
+      parentId = parent.map(_.snapshotId).getOrElse(-1L),
+      epoch = epoch,
+      tables = tables,
+      metrics = metrics)
+    val node = mapper.createObjectNode()
+    node.put("snapshot_id", snap.snapshotId)
+    node.put("parent_id", snap.parentId)
+    node.put("epoch", snap.epoch)
+    val tnode = node.putObject("tables")
+    for ((name, st) <- tables.toSeq.sortBy(_._1)) {
+      val o = tnode.putObject(name)
+      o.put("delta_rows", st.deltaRows)
+      o.put("total_rows", st.totalRows)
+      val arr = o.putArray("files")
+      st.files.foreach(arr.add)
+    }
+    val mnode = node.putObject("metrics")
+    for ((k, v) <- metrics.toSeq.sortBy(_._1)) mnode.put(k, v)
+
+    val f = fs(metaDir)
+    f.mkdirs(metaDir)
+    val tmp = new Path(metaDir, s".tmp-snap-$epoch.json")
+    val fin = new Path(metaDir, s"snap-$epoch.json")
+    val out = f.create(tmp, true)
+    out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    out.close()
+    // single-writer: a pre-existing manifest here is a torn leftover from a
+    // crashed commit of this same epoch — replace it
+    if (f.exists(fin)) f.delete(fin, false)
+    if (!f.rename(tmp, fin))
+      throw new java.io.IOException(s"atomic publish failed for $fin")
+    snap
+  }
+
+  /** Newest valid snapshot (torn/tmp manifests ignored). */
+  def latest(): Option[Snapshot] = {
+    val f = fs(metaDir)
+    if (!f.exists(metaDir)) return None
+    val snaps = f.listStatus(metaDir).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("snap-") && p.getName.endsWith(".json"))
+      .flatMap { p =>
+        try Some(load(p))
+        catch { case _: Exception => None } // torn file → ignore
+      }
+    if (snaps.isEmpty) None else Some(snaps.maxBy(_.epoch))
+  }
+
+  def snapshotAt(epoch: Int): Option[Snapshot] = {
+    val p = new Path(metaDir, s"snap-$epoch.json")
+    if (!fs(p).exists(p)) None
+    else try Some(load(p)) catch { case _: Exception => None }
+  }
+
+  private def load(p: Path): Snapshot = {
+    val in = fs(p).open(p)
+    val node = try mapper.readTree(in) finally in.close()
+    val tables = node.get("tables").properties().asScala.map { e =>
+      val name = e.getKey
+      val o = e.getValue
+      val files = o.get("files").asInstanceOf[ArrayNode].asScala.map(_.asText()).toSeq
+      name -> TableState(files, o.get("delta_rows").asLong(), o.get("total_rows").asLong())
+    }.toMap
+    val metrics = Option(node.get("metrics")).map { m: JsonNode =>
+      m.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
+    Snapshot(node.get("snapshot_id").asLong(), node.get("parent_id").asLong(),
+      node.get("epoch").asInt(), tables, metrics)
+  }
+
+  /** Drop manifests newer than `epoch` (test hook for crash/resume). */
+  def truncateAfter(epoch: Int): Unit = {
+    val f = fs(metaDir)
+    if (!f.exists(metaDir)) return
+    f.listStatus(metaDir).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("snap-") && n.endsWith(".json")) {
+        val e = n.stripPrefix("snap-").stripSuffix(".json").toInt
+        if (e > epoch) f.delete(s.getPath, false)
+      }
+    }
+  }
+}

@@ -1,0 +1,16 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val df = graft.SparkEntry.entry(spark)
+    val n = df.count()
+    println(s"ENTRY links=$n in ${(System.nanoTime()-t0)/1e9}%.1f s")
+    df.orderBy("url").show(5, truncate = false)
+    spark.stop()
+  }
+}

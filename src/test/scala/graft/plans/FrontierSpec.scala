@@ -1,0 +1,136 @@
+package graft.plans
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** End-to-end crawl vs the Python trace oracle (tools/gen_site_fixtures.py):
+  * exact trace sequence, exact visited/links sets, exact per-epoch frontiers,
+  * bit-exact links.txt, and exact resume (SURVEY.md §5.3).
+  */
+class FrontierSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def resLines(path: String): Seq[String] = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing $path")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().toVector finally src.close()
+  }
+
+  /** pages.tsv → input_hint-shaped DataFrame. */
+  private def loadPages(scenario: String): DataFrame = {
+    val rows = resLines(s"/sites/$scenario/pages.tsv").map { line =>
+      val Array(url, b64) = line.split("\t", -1)
+      val html = Base64.getDecoder.decode(b64)
+      val text = graft.html.HtmlExtract.extractText(html)
+      (url, new java.sql.Timestamp(1700000000000L), html, text, "en")
+    }
+    rows.toDF("url", "warc_ts", "html", "text", "lang")
+  }
+
+  private def config(scenario: String): (String, Option[Int]) = {
+    val json = resLines(s"/sites/$scenario/config.json").mkString
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val budget = Option(node.get("budget")).filterNot(_.isNull).map(_.asInt())
+    (node.get("domain").asText(), budget)
+  }
+
+  private def runScenario(scenario: String): (CrawlResult, String) = {
+    val (domain, budget) = config(scenario)
+    val wh = Files.createTempDirectory(s"graft-$scenario-").toString
+    val engine = new CrawlEngine(spark,
+      CrawlConfig(domain = domain, budget = budget, numPartitions = 4))
+    val result = engine.run(loadPages(scenario), s"https://$domain", wh)
+    (result, wh)
+  }
+
+  private def checkScenario(scenario: String): Unit = {
+    val (result, wh) = runScenario(scenario)
+    // trace: exact sequence under the §A.1 canonical serialization
+    val gotTrace = result.trace.select("url").as[String].collect().toSeq
+    assert(gotTrace == resLines(s"/sites/$scenario/trace.txt"), s"$scenario trace")
+    // visited set (sorted)
+    val gotVisited = result.visited.select("url").as[String].collect().sorted.toSeq
+    assert(gotVisited == resLines(s"/sites/$scenario/visited.txt"), s"$scenario visited")
+    // links.txt bit-exact save format (crawler.py:93-97)
+    val gotLinks = result.links.select("url").as[String].collect().sorted
+    val expected = resLines(s"/sites/$scenario/links.txt")
+    assert(gotLinks.toSeq == expected, s"$scenario links")
+    val fileBytes = gotLinks.map(_ + "\n").mkString.getBytes(UTF_8)
+    val goldenBytes = {
+      val in = getClass.getResourceAsStream(s"/sites/$scenario/links.txt")
+      try in.readAllBytes() finally in.close()
+    }
+    assert(java.util.Arrays.equals(fileBytes, goldenBytes), s"$scenario links.txt bytes")
+    // per-epoch frontiers
+    val expectedEpochs = resLines(s"/sites/$scenario/frontier_epochs.txt")
+      .map { l => val Array(e, u) = l.split("\t", 2); (e.toInt, u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((e, urls) <- expectedEpochs) {
+      val got = spark.read.parquet(s"$wh/frontier/epoch=$e")
+        .select("url").as[String].collect().sorted.toSeq
+      assert(got == urls, s"$scenario frontier epoch $e")
+    }
+    assert(result.epochs == expectedEpochs.size, s"$scenario epoch count")
+  }
+
+  test("basic: BFS with cycles, dups, dead links, off-domain, params/fragments") {
+    checkScenario("basic")
+  }
+
+  test("quirks: port/superstring/case netloc semantics, subdomains, proto-relative") {
+    checkScenario("quirks")
+  }
+
+  test("budget2: per-host politeness budget with multi-epoch deferral") {
+    checkScenario("budget2")
+  }
+
+  test("robots: disallow/allow longest-match gating") {
+    checkScenario("robots")
+  }
+
+  test("resume: interrupted run continues to identical final state") {
+    val (domain, budget) = config("basic")
+    val pages = loadPages("basic")
+    val whFull = Files.createTempDirectory("graft-full-").toString
+    val whPart = Files.createTempDirectory("graft-part-").toString
+    val full = new CrawlEngine(spark, CrawlConfig(domain, budget, numPartitions = 4))
+      .run(pages, s"https://$domain", whFull)
+    // run only 2 epochs, then resume to fixpoint with a fresh engine
+    new CrawlEngine(spark, CrawlConfig(domain, budget, numPartitions = 4, maxEpochs = 2))
+      .run(pages, s"https://$domain", whPart)
+    val resumed = new CrawlEngine(spark, CrawlConfig(domain, budget, numPartitions = 4))
+      .run(pages, s"https://$domain", whPart)
+    assert(resumed.trace.select("epoch", "url").as[(Int, String)].collect().toSeq ==
+      full.trace.select("epoch", "url").as[(Int, String)].collect().toSeq)
+    assert(resumed.links.select("url").as[String].collect().sorted.toSeq ==
+      full.links.select("url").as[String].collect().sorted.toSeq)
+  }
+
+  test("crash: torn manifest and uncommitted data dirs are invisible on resume") {
+    val (domain, budget) = config("basic")
+    val pages = loadPages("basic")
+    val wh = Files.createTempDirectory("graft-crash-").toString
+    new CrawlEngine(spark, CrawlConfig(domain, budget, numPartitions = 4, maxEpochs = 3))
+      .run(pages, s"https://$domain", wh)
+    // simulate crash mid-epoch-3: stale data dir + torn manifest exist
+    val store = new graft.snapshot.SnapshotStore(spark, wh)
+    store.truncateAfter(1) // keep snapshots -1..1 only
+    Files.write(Paths.get(wh, "metadata", "snap-2.json"),
+      "{ torn".getBytes(UTF_8)) // torn manifest must be ignored
+    val resumed = new CrawlEngine(spark, CrawlConfig(domain, budget, numPartitions = 4))
+      .run(pages, s"https://$domain", wh)
+    val full = runScenario("basic")._1
+    assert(resumed.trace.select("url").as[String].collect().toSeq ==
+      full.trace.select("url").as[String].collect().toSeq)
+  }
+}

@@ -1,0 +1,309 @@
+#!/usr/bin/env python3
+"""Site-graph fixtures + golden crawl traces (stdlib only; outputs committed).
+
+Implements the reference crawler's per-URL semantics (crawler.py:24-46,55-69)
+under the canonical deterministic serialization of SURVEY.md §A.1:
+level-synchronous BFS; within an epoch, URLs are fetched in lexicographic
+(code-point) order of the epoch's deduplicated frontier. Final sets
+(visited / all_links / links.txt) are bit-exact vs the unmodified reference
+semantics; the trace is exact under the pinned tie-break.
+
+Extensions (north_rule, no reference counterpart — contract defined here and
+mirrored by the engine):
+  - politeness budget B: per epoch, per host (lowercased, sans port), only the
+    first B frontier URLs in lexicographic order are fetched; the rest carry
+    over to the next epoch's frontier.
+  - robots: rules parsed from the page at https://<host>/robots.txt, agent
+    group '*' only; longest-path-prefix match wins, allow wins ties, no rule
+    → allowed. Disallowed URLs are dropped at scheduling time (never fetched,
+    never traced; recorded as suppressed so they are not rescheduled).
+
+Outputs per scenario under src/test/resources/sites/<name>/:
+  pages.tsv   url \t html_b64   (the pages table; missing url = dead link)
+  config.json {domain, budget, seed_url}
+  trace.txt / visited.txt / links.txt / frontier_epochs.txt
+"""
+import base64
+import html.parser
+import io
+import json
+import os
+import sys
+from urllib.parse import urljoin, urlparse
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(ROOT, "src/test/resources/sites")
+
+
+# ---- reference per-URL semantics (crawler.py:24-46) -------------------------
+class LinkParser(html.parser.HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.hrefs = []
+
+    def _tag(self, tag, attrs):
+        if tag == "a":
+            d = {}
+            for k, v in attrs:
+                d[k] = v if v is not None else ""
+            if "href" in d:
+                self.hrefs.append(d["href"])
+
+    def handle_starttag(self, tag, attrs):
+        self._tag(tag, attrs)
+
+    def handle_startendtag(self, tag, attrs):
+        self._tag(tag, attrs)
+
+
+def extract_clean_links(page_url, html_bytes):
+    """crawler.py:32-42: parse, urljoin, scheme filter, clean rebuild → set."""
+    p = LinkParser()
+    try:
+        p.feed(html_bytes.decode("utf-8"))
+        p.close()
+    except Exception:
+        return set()
+    links = set()
+    for href in p.hrefs:
+        full = urljoin(page_url, href)
+        parsed = urlparse(full)
+        if parsed.scheme in ("http", "https"):
+            clean = f"{parsed.scheme}://{parsed.netloc}{parsed.path}"
+            if parsed.query:
+                clean += f"?{parsed.query}"
+            links.add(clean)
+    return links
+
+
+def is_valid(url, domain):
+    return urlparse(url).netloc.endswith(domain)
+
+
+def host_key(url):
+    n = urlparse(url).netloc
+    n = n.rsplit("@", 1)[-1]
+    return n.split(":")[0].lower()
+
+
+# ---- robots (RFC 9309-lite, '*' group only) ---------------------------------
+def parse_robots(body):
+    """→ list of (path_prefix, allow: bool) for agent group '*'."""
+    rules = []
+    in_star = False
+    seen_ua_since_rules = True
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if seen_ua_since_rules:
+                in_star = in_star or value == "*"
+            else:
+                in_star = value == "*"
+                seen_ua_since_rules = True
+        elif field in ("allow", "disallow"):
+            seen_ua_since_rules = False
+            if in_star and value:
+                rules.append((value, field == "allow"))
+    return rules
+
+
+def robots_allowed(url, rules):
+    path = urlparse(url).path or "/"
+    best = None
+    for prefix, allow in rules:
+        if path.startswith(prefix):
+            if best is None or len(prefix) > len(best[0]) or (
+                    len(prefix) == len(best[0]) and allow):
+                best = (prefix, allow)
+    return True if best is None else best[1]
+
+
+# ---- canonical-serialization crawl ------------------------------------------
+def crawl(pages, domain, budget=None):
+    seed = f"https://{domain}"
+    robots_rules = {}  # host → rules
+    for url, body in pages.items():
+        p = urlparse(url)
+        if p.path == "/robots.txt":
+            robots_rules[host_key(url)] = parse_robots(body.decode("utf-8"))
+
+    def allowed(u):
+        return robots_allowed(u, robots_rules.get(host_key(u), []))
+
+    visited = []
+    visited_set = set()
+    suppressed = set()  # robots-blocked, never rescheduled
+    all_links = set()
+    frontier = [seed] if allowed(seed) else []
+    if not frontier:
+        suppressed.add(seed)
+    epochs = []
+    while frontier:
+        epochs.append(list(frontier))
+        if budget is not None:
+            taken = {}
+            fetch_now, defer = [], []
+            for url in frontier:  # frontier already sorted
+                h = host_key(url)
+                if taken.get(h, 0) < budget:
+                    taken[h] = taken.get(h, 0) + 1
+                    fetch_now.append(url)
+                else:
+                    defer.append(url)
+        else:
+            fetch_now, defer = frontier, []
+        next_level = set()
+        for url in fetch_now:
+            if url in visited_set:
+                continue
+            visited.append(url)
+            visited_set.add(url)
+            body = pages.get(url)
+            links = extract_clean_links(url, body) if body is not None else set()
+            for link in sorted(links):
+                all_links.add(link)
+                if is_valid(link, domain) and link not in visited_set:
+                    if allowed(link):
+                        next_level.add(link)
+                    else:
+                        suppressed.add(link)
+        frontier = sorted((set(defer) | next_level) - visited_set - suppressed)
+    return visited, sorted(all_links), epochs
+
+
+# ---- site builders -----------------------------------------------------------
+def page(links, title="t", extra=""):
+    body = "".join(f'<a href="{h}">l</a>' for h in links)
+    return (f'<html><head><meta charset="utf-8"><title>{title}</title></head>'
+            f"<body>{extra}{body}</body></html>").encode("utf-8")
+
+
+def site_basic():
+    d = "example.com"
+    pages = {
+        f"https://{d}": page(["/a", "/b", "/a", "dead.html", "#frag-only"]),
+        f"https://{d}/a": page(["/b", "/c/d", "../up", "https://other.org/x",
+                                "/a?q=1", "/a?q=1#f"]),
+        f"https://{d}/b": page(["/", "/a", "/c/d", "mailto:x@y.z",
+                                "javascript:void(0)", ""]),
+        f"https://{d}/c/d": page(["../a", "./e;param", "e/f/../g",
+                                  "//example.com/pp", "?q=2"]),
+        f"https://{d}/c/e": page(["/loop"]),  # ;param stripped → /c/e
+        f"https://{d}/c/g": page([]),
+        f"https://{d}/pp": page(["/a", "/b"]),
+        f"https://{d}/c/d?q=2": page(["/deep"]),
+        f"https://{d}/a?q=1": page([]),
+        f"https://{d}/loop": page(["/loop", "/"]),
+        f"https://{d}/deep": page(["/deep2"]),
+        f"https://{d}/deep2": page([]),
+        # note: https://example.com/ (slash) is a DIFFERENT url than the seed
+        f"https://{d}/": page(["/a"]),
+        f"https://{d}/up": page([]),
+    }
+    return d, pages, None
+
+
+def site_quirks():
+    d = "example.com"
+    pages = {
+        f"https://{d}": page([
+            "https://example.com:443/port",        # port → endswith fails → off-domain
+            "https://evilexample.com/super",       # superstring host → IN domain (quirk)
+            "https://Example.com/case",            # case-sensitive → off-domain
+            "https://sub.example.com/s",           # subdomain → in-domain
+            "HTTP://example.com/SchemeCase",       # scheme lowercased, netloc kept
+            "//example.com/proto",                 # protocol-relative
+            "x y",                                 # space in path (kept verbatim)
+        ]),
+        "https://evilexample.com/super": page(["/super2"]),
+        "https://evilexample.com/super2": page([]),
+        "https://sub.example.com/s": page(["t", "/s"]),
+        "https://sub.example.com/t": page([]),
+        "http://example.com/SchemeCase": page([]),
+        f"https://{d}/proto": page([]),
+        f"https://{d}/x%20y": page([]),  # note: 'x y' stays 'x y' — absent on purpose
+        f"https://{d}/x y": page([]),    # this one matches the verbatim path
+    }
+    return d, pages, None
+
+
+def site_budget():
+    d = "example.com"
+    # one hot host: seed fans out to 6 pages; budget 2 → 3 epochs to drain
+    links = [f"/p/{i}" for i in range(6)]
+    pages = {f"https://{d}": page(links)}
+    for i in range(6):
+        pages[f"https://{d}/p/{i}"] = page([f"/p/{i}/child"])
+        pages[f"https://{d}/p/{i}/child"] = page([])
+    pages[f"https://sub.{d}/s0"] = page([])
+    pages[f"https://{d}/p/0"] = page([f"/p/0/child", f"https://sub.{d}/s0"])
+    return d, pages, 2
+
+
+def site_robots():
+    d = "example.com"
+    robots = "\n".join([
+        "User-agent: *",
+        "Disallow: /private/",
+        "Allow: /private/ok",
+        "Disallow: /tmp",
+        "",
+        "User-agent: other-bot",
+        "Disallow: /",
+    ]).encode("utf-8")
+    pages = {
+        f"https://{d}/robots.txt": robots,
+        f"https://{d}": page(["/private/a", "/private/ok1", "/pub",
+                              "/tmpfile", "/tmp/x"]),
+        f"https://{d}/private/a": page(["/never"]),
+        f"https://{d}/private/ok1": page(["/pub2"]),
+        f"https://{d}/pub": page(["/private/b"]),
+        f"https://{d}/pub2": page([]),
+        f"https://{d}/tmpfile": page([]),  # Disallow:/tmp is a prefix → blocked
+        f"https://{d}/tmp/x": page([]),
+    }
+    return d, pages, None
+
+
+def main():
+    scenarios = {
+        "basic": site_basic,
+        "quirks": site_quirks,
+        "budget2": site_budget,
+        "robots": site_robots,
+    }
+    for name, builder in scenarios.items():
+        domain, pages, budget = builder()
+        visited, links, epochs = crawl(pages, domain, budget)
+        sdir = os.path.join(OUT, name)
+        os.makedirs(sdir, exist_ok=True)
+        with open(os.path.join(sdir, "pages.tsv"), "w") as f:
+            for url in sorted(pages):
+                f.write(url + "\t" +
+                        base64.b64encode(pages[url]).decode("ascii") + "\n")
+        with open(os.path.join(sdir, "config.json"), "w") as f:
+            json.dump({"domain": domain, "budget": budget,
+                       "seed_url": f"https://{domain}"}, f)
+        with open(os.path.join(sdir, "trace.txt"), "w", encoding="utf-8") as f:
+            for u in visited:
+                f.write(u + "\n")
+        with open(os.path.join(sdir, "visited.txt"), "w", encoding="utf-8") as f:
+            for u in sorted(visited):
+                f.write(u + "\n")
+        with open(os.path.join(sdir, "links.txt"), "w", encoding="utf-8") as f:
+            for u in links:  # bit-exact save_links format (crawler.py:93-97)
+                f.write(f"{u}\n")
+        with open(os.path.join(sdir, "frontier_epochs.txt"), "w", encoding="utf-8") as f:
+            for i, ep in enumerate(epochs):
+                for u in ep:
+                    f.write(f"{i}\t{u}\n")
+        print(f"{name}: {len(visited)} visited, {len(links)} links, {len(epochs)} epochs")
+
+
+if __name__ == "__main__":
+    main()
