@@ -1,24 +1,72 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+
+import graft.plans.{CrawlConfig, CrawlEngine}
+import graft.snapshot.SnapshotStore
+import graft.synth.SiteGen
+
+/** Driver benchmark main: the headline frontier-throughput kernel (the full
+  * crawl epoch pipeline over a deterministically synthesized site sized by
+  * the sf dir) plus every SparkEntry query, on SPARK_GRAFT_SF_DIR at
+  * local[SPARK_GRAFT_CPUS]. Prints ONE JSON line.
+  *
+  * Throughput metric (BASELINE.md): URLs scheduled + deduped per second =
+  * Σ_epochs candidates_in / crawl wall seconds.
+  */
 object Bench {
+
+  def crawlKernel(spark: SparkSession, nPages: Long, partitions: Int): (Double, Long, Long) = {
+    val domain = "example.com"
+    val pages = SiteGen.pages(spark, domain, nPages, hosts = 32,
+      outDegree = 12, numPartitions = partitions)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pages.count() // materialize generation outside the timed window
+    val wh = Files.createTempDirectory("graft-bench-").toString
+    val t0 = System.nanoTime()
+    val result = new CrawlEngine(spark,
+      CrawlConfig(domain, numPartitions = partitions, bloomMinSeen = 50000L))
+      .run(pages, s"https://$domain", wh)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val store = new SnapshotStore(spark, wh)
+    var scheduled = 0L
+    var e = 0
+    while (e < result.epochs) {
+      store.snapshotAt(e).foreach(s => scheduled += s.metrics.getOrElse("candidates_in", 0L))
+      e += 1
+    }
+    pages.unpersist()
+    (sec, scheduled, result.lastSnapshot.tables("visited").totalRows)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
+    val nPages = math.max(2000L, math.min(2000000L, (sf * 2000000L).toLong))
+    val (crawlSec, scheduled, visited) = crawlKernel(spark, nPages, cpus.toInt)
+    val urlsPerSec = scheduled / math.max(crawlSec, 1e-9)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = crawlSec + results.map(_._2).sum
+    println(
+      f"""{"metric":"frontier_urls_per_sec","value":$urlsPerSec%.1f,"unit":"urls/sec","total_sec":$total%.2f,"crawl_sec":$crawlSec%.2f,"crawl_pages":$nPages,"crawl_scheduled":$scheduled,"crawl_visited":$visited,"queries":$qs,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }

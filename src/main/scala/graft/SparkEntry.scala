@@ -3,12 +3,34 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+import graft.multimodal.MediaOps
+import graft.operators.{Dedup, SimSearch}
 import graft.plans.{CrawlConfig, CrawlEngine}
+import graft.plans.planfns._
 import graft.synth.SiteGen
+import graft.textops.textfns._
+import graft.url.urlfns._
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every SQL-expressible operator has a DuckDB `oracleSql` twin with
+  * identically-aliased columns; aggregates are integer-exact (counts, bigint
+  * sums, cents via round·100) so Spark/DuckDB results hash-match bit-for-bit
+  * regardless of float summation order. Crawl-native and sketch/LSH
+  * operators are deterministic but not ANSI-SQL-expressible → rows-only.
+  */
 object SparkEntry {
+
+  private def t(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  /** Deterministic page count for crawl-shaped queries, scaled by sf dir. */
+  private def crawlPages(sfDir: String): Long = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.001)
+    math.max(300L, math.min(60000L, (sf * 200000L).toLong))
+  }
 
   /** Flagship: a full domain-bounded crawl (fetch-join → extract → resolve →
     * clean → dedup → epoch loop with snapshots) over a deterministically
@@ -24,11 +46,215 @@ object SparkEntry {
     engine.run(pages, s"https://$domain", wh).links
   }
 
-  /** One per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  /** One per implemented operator from SURVEY.md §2 + the training-data ops. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (oracle'd) ----------------------------------------
+    "q_agg_pricing" -> { (s, d) =>
+      s.read.parquet(t(d, "lineitem"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
+          max(col("l_orderkey")).as("max_orderkey"))
+    },
+    "q_join_cust_orders" -> { (s, d) =>
+      val o = s.read.parquet(t(d, "orders"))
+      val c = s.read.parquet(t(d, "customer"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+    },
+    "q_dedup_anti" -> { (s, d) =>
+      val e = s.read.parquet(t(d, "events"))
+        .withColumn("day", to_date(col("ts")))
+      e.filter(col("event_type") === "click").select("user_id", "day").distinct()
+        .join(e.filter(col("event_type") === "purchase").select("user_id", "day"),
+          Seq("user_id", "day"), "left_anti")
+    },
+    "q_budget_window" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      s.read.parquet(t(d, "events"))
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= 2)
+        .select(col("user_id"), col("event_id"), col("rn"))
+    },
+    "q_union_distinct" -> { (s, d) =>
+      s.read.parquet(t(d, "orders")).select(col("o_custkey").as("key"))
+        .union(s.read.parquet(t(d, "lineitem")).select(col("l_partkey").as("key")))
+        .distinct()
+    },
+    "q_sort_limit" -> { (s, d) =>
+      s.read.parquet(t(d, "orders"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    },
+    "q_group_count" -> { (s, d) =>
+      s.read.parquet(t(d, "events"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    },
+    "q_event_span" -> { (s, d) =>
+      s.read.parquet(t(d, "events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          // parquet ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the
+          // NTZ→LTZ cast is identity and epoch micros match DuckDB epoch_us
+          unix_micros(min(col("ts")).cast("timestamp")).as("first_us"),
+          unix_micros(max(col("ts")).cast("timestamp")).as("last_us"))
+    },
+    // ---- training-data ops over documents (oracle'd subset) ----------------
+    "q_doc_exact_dedup" -> { (s, d) =>
+      Dedup.exact(s.read.parquet(t(d, "documents")), "doc_id", "text")
+    },
+    "q_text_stats" -> { (s, d) =>
+      s.read.parquet(t(d, "documents")).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_bpeish"))
+    },
+    // ---- rows-only: sketch/LSH/ANN/custom-expression operators -------------
+    "q_lang_quality" -> { (s, d) =>
+      s.read.parquet(t(d, "documents")).select(
+        col("doc_id"),
+        lang_id(col("text")).as("lang_guess"),
+        quality_score(col("text")).as("quality"),
+        fingerprint(col("text")).as("fp64"))
+    },
+    "q_minhash_dedup" -> { (s, d) =>
+      Dedup.minHashLsh(s.read.parquet(t(d, "documents")), "doc_id", "text",
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    },
+    "q_simhash_dedup" -> { (s, d) =>
+      Dedup.simHash(s.read.parquet(t(d, "documents")), "doc_id", "text",
+        maxHamming = 3)
+    },
+    "q_embed_neardup" -> { (s, d) =>
+      // synthetic embeddings are near-orthogonal (max pairwise cosine ≈ 0.51)
+      // so the near-dup threshold is set where candidate pairs exist
+      Dedup.embeddingNearDup(s.read.parquet(t(d, "embeddings")), "vec_id",
+        "embedding", planes = 8, threshold = 0.3)
+    },
+    "q_ann_brute" -> { (s, d) =>
+      val e = s.read.parquet(t(d, "embeddings"))
+      SimSearch.bruteForceTopK(e, e.filter(col("vec_id") < 20), "vec_id",
+        "embedding", k = 5)
+    },
+    "q_ann_lsh" -> { (s, d) =>
+      val e = s.read.parquet(t(d, "embeddings"))
+      SimSearch.lshTopK(e, e.filter(col("vec_id") < 20), "vec_id",
+        "embedding", k = 5, planes = 8)
+    },
+    "q_media_features" -> { (s, d) =>
+      val docs = s.read.parquet(t(d, "documents"))
+      MediaOps.extractFeatures(
+        MediaOps.synthesize(docs, "doc_id", "text"), dim = 16)
+        .toDF()
+        .select(col("doc_id"), col("mediaType"), col("frames"),
+          col("featureDim"), col("outWidth"), col("outHeight"))
+    },
+    // ---- crawl-native operators (deterministic synthesis; rows-only) -------
+    "q_clean_urls" -> { (s, d) =>
+      import s.implicits._
+      val n = crawlPages(d)
+      val hrefs = Seq("../up?z=1#f", "next;p", "//h1.example.com/x",
+        "HTTP://CASE.example.com/P?b=2&a=1", "", "mailto:a@b.c", "/abs/./q")
+      s.range(0, n, 1, 8)
+        .map(i => SiteGen.pageUrl("example.com", 4, i))
+        .toDF("base")
+        .withColumn("href", explode(typedLit(hrefs)))
+        .withColumn("joined", url_resolve(col("base"), col("href")))
+        .filter(url_scheme(col("joined")).isin("http", "https"))
+        .select(col("base"), col("href"),
+          clean_url(col("joined")).as("clean"),
+          canonicalize_url(col("joined")).as("canonical"),
+          url_netloc(col("joined")).as("netloc"),
+          host_key(col("joined")).as("host"))
+    },
+    "q_extract_links" -> { (s, d) =>
+      val pages = SiteGen.pages(s, "example.com", crawlPages(d), hosts = 4,
+        outDegree = 8, numPartitions = 8)
+      pages.select(col("url"),
+        size(graft.html.htmlfns.extract_hrefs(col("html"))).as("n_links"),
+        length(graft.html.htmlfns.extract_text(col("html"))).as("text_len"))
+    },
+    "q_crawl_epoch" -> { (s, d) =>
+      val domain = "example.com"
+      val pages = SiteGen.pages(s, domain, crawlPages(d), hosts = 4,
+        outDegree = 8, numPartitions = 8)
+      val wh = Files.createTempDirectory("graft-q-epoch-").toString
+      new CrawlEngine(s, CrawlConfig(domain, numPartitions = 8, maxEpochs = 2))
+        .run(pages, s"https://$domain", wh).visited
+    },
+    "q_robots_gate" -> { (s, d) =>
+      import s.implicits._
+      val robots = "User-agent: *\nDisallow: /private/\nAllow: /private/ok\nDisallow: /tmp\n"
+      val pages = SiteGen.pages(s, "example.com", 64, hosts = 4,
+        outDegree = 4, numPartitions = 4, robotsBody = Some(robots))
+      val engine = new CrawlEngine(s, CrawlConfig("example.com", numPartitions = 4))
+      val rules = engine.robotsTable(pages)
+      Seq("https://example.com/private/a", "https://example.com/private/ok1",
+        "https://example.com/pub", "https://h1.example.com/tmpx",
+        "https://nohost.example.com/free")
+        .toDF("url")
+        .withColumn("host", host_key(col("url")))
+        .join(broadcast(rules), Seq("host"), "left")
+        .withColumn("allowed",
+          coalesce(robots_allowed(col("url"), col("prefixes"), col("allows")), lit(true)))
+        .select("url", "host", "allowed")
+    })
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
-    */
-  def oracleSql: Map[String, String] = Map()
+  /** DuckDB twins. Integer-exact only; every column aliased identically. */
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+         max(l_orderkey) AS max_orderkey
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_join_cust_orders" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q_dedup_anti" ->
+      """SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+         FROM events c WHERE event_type = 'click' AND NOT EXISTS (
+           SELECT 1 FROM events e WHERE e.event_type = 'purchase'
+           AND e.user_id = c.user_id
+           AND CAST(date_trunc('day', e.ts) AS DATE) = CAST(date_trunc('day', c.ts) AS DATE))""",
+    "q_budget_window" ->
+      """SELECT user_id, event_id, rn FROM (
+           SELECT user_id, event_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn
+           FROM events) WHERE rn <= 2""",
+    "q_union_distinct" ->
+      """SELECT DISTINCT key FROM (
+           SELECT o_custkey AS key FROM orders
+           UNION ALL SELECT l_partkey AS key FROM lineitem)""",
+    "q_sort_limit" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_group_count" ->
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type",
+    "q_event_span" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
+         FROM events GROUP BY user_id""",
+    "q_doc_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS text_hash,
+         CAST(count(*) AS BIGINT) AS dup_count
+         FROM documents GROUP BY md5(text)""",
+    "q_text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
+         FROM documents""")
 }

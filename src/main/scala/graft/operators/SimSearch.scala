@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.textops.TextOps
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (builder-prompt mandate): brute-force cosine top-k as the exact baseline,
+  * and a random-hyperplane LSH-bucketed variant as the scale path (probes
+  * only same-bucket candidates; buckets are deterministic functions of the
+  * vector, so the bucketing join shuffles by bucket key and scales
+  * horizontally).
+  */
+object SimSearch {
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * a fixed function, identical across executors — no RNG state.
+    */
+  @inline def planeComponent(p: Int, d: Int): Double = {
+    val h = TextOps.mix64(p.toLong * 0x9E3779B97F4A7C15L + d * 0xC2B2AE3D27D4EB4FL)
+    // map to (-1, 1)
+    h.toDouble / Long.MaxValue.toDouble
+  }
+
+  /** Sign-bit bucket of `planes` random hyperplanes (codegen-friendly SQL
+    * composition — higher-order functions over the array column).
+    */
+  def hyperplaneBucket(v: Column, planes: Int): Column = {
+    val bits: Seq[Column] = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(v, transform(sequence(lit(0), size(v) - 1),
+          d => PlaneComp.comp(lit(p), d)), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact cosine similarity between two float-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Brute-force cosine top-k: every query row against the full corpus —
+    * the exact baseline. Queries should be small (broadcast side).
+    * Output: (query_id, neighbor_id, cosine, rank).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** LSH-bucketed ANN: same-bucket candidates only, then exact cosine top-k
+    * within the candidate set. Recall < 1 by construction; at scale the
+    * cross join shrinks from |Q|·|C| to Σ_bucket |Q_b|·|C_b|.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 10): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", hyperplaneBucket(col("cv"), planes))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", hyperplaneBucket(col("qv"), planes))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}
+
+/** Hyperplane component as a tiny deterministic expression, kept separate so
+  * hyperplaneBucket stays a pure Column composition.
+  */
+object PlaneComp {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  import org.apache.spark.sql.types.{DataType, DoubleType}
+
+  case class PlaneComponent(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(p: Any, d: Any): Any =
+      SimSearch.planeComponent(p.asInstanceOf[Int], d.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (p, d) => s"graft.operators.SimSearch.planeComponent($p, $d)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PlaneComponent =
+      copy(left = l, right = r)
+  }
+
+  def comp(p: Column, d: Column): Column =
+    ColumnBridge.column(PlaneComponent(
+      ColumnBridge.expression(p.cast("int")), ColumnBridge.expression(d.cast("int"))))
+}

@@ -225,6 +225,9 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       val candidates = gated.filter(col("allowed")).select("url", "host")
         .union(defer)
         .dropDuplicates("url")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // BASELINE.json metric numerator: URLs scheduled + entering dedup
+      val candidatesIn = candidates.count()
       val visitedAll = visitedSoFar.select("url")
         .union(fetchNow.select("url"))
       val next = dedupAgainst(candidates, visitedAll, visitedRows + vState.deltaRows)
@@ -243,9 +246,11 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
           "deferred" -> (frontierCount - vState.deltaRows),
           "new_links" -> lState.deltaRows,
           "new_suppressed" -> sState.deltaRows,
+          "candidates_in" -> candidatesIn,
           "next_frontier" -> fState.deltaRows,
           "wall_ms" -> wallMs))
 
+      candidates.unpersist()
       cleanLinks.unpersist()
       gated.unpersist()
       gateCaches.foreach(_.unpersist())
