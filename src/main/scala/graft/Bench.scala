@@ -27,7 +27,8 @@ object Bench {
     val wh = Files.createTempDirectory("graft-bench-").toString
     val t0 = System.nanoTime()
     val result = new CrawlEngine(spark,
-      CrawlConfig(domain, numPartitions = partitions, bloomMinSeen = 50000L))
+      CrawlConfig(domain, numPartitions = partitions, bloomMinSeen = 50000L,
+        bloomExpectedTotal = math.max(nPages * 4, 1000000L)))
       .run(pages, s"https://$domain", wh)
     val sec = (System.nanoTime() - t0) / 1e9
     val store = new SnapshotStore(spark, wh)

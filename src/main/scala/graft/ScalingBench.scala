@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-evidence protocol (BASELINE.md): the same crawl kernel on the
+  * same deterministically synthesized input at N=local[8] and 4N=local[32].
+  * Each configuration runs in its OWN JVM (fresh GC/JIT state) with an
+  * identical in-JVM warmup kernel, so the two measurements are comparable:
+  *
+  *   sbt "runMain graft.ScalingBench 8  200000"
+  *   sbt "runMain graft.ScalingBench 32 200000"
+  *
+  * efficiency = urls_per_sec(32) / (4 · urls_per_sec(8)).
+  */
+object ScalingBench {
+
+  def main(args: Array[String]): Unit = {
+    val cores = if (args.nonEmpty) args(0).toInt else 32
+    val nPages = if (args.length > 1) args(1).toLong else 200000L
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    Bench.crawlKernel(spark, 20000L, cores) // JIT/codegen warmup
+    val (sec, scheduled, visited) = Bench.crawlKernel(spark, nPages, cores)
+    val thr = scheduled / sec
+    println(
+      f"""{"metric":"scaling_point","cores":$cores,"n_pages":$nPages,"urls_per_sec":$thr%.1f,"sec":$sec%.2f,"scheduled":$scheduled,"visited":$visited}""")
+    spark.stop()
+  }
+}

@@ -31,6 +31,8 @@ final case class CrawlConfig(
     saltBuckets: Int = 16,
     bloomFpp: Double = 0.01,
     bloomMinSeen: Long = 100000L,
+    bloomExpectedTotal: Long = 10000000L,
+    broadcastFetchMax: Long = 4000000L,
     maxEpochs: Int = Int.MaxValue)
 
 final case class CrawlResult(
@@ -111,13 +113,11 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
     * the anti-join entirely.
     */
   private def dedupAgainst(candidates: DataFrame, seen: DataFrame,
-      seenCount: Long): DataFrame = {
-    if (seenCount < config.bloomMinSeen) {
+      seenCount: Long, sketch: Option[BloomSketch]): DataFrame = {
+    if (seenCount < config.bloomMinSeen || sketch.isEmpty) {
       candidates.join(seen.select("url"), Seq("url"), "left_anti")
     } else {
-      val sketch = BloomSketch.build(
-        seen.select("url").as[String].rdd, seenCount, config.bloomFpp)
-      val bcast = spark.sparkContext.broadcast(sketch)
+      val bcast = spark.sparkContext.broadcast(sketch.get)
       val flagged = candidates.withColumn(
         "maybe_seen", bloom_might_contain(bcast, col("url")))
       val definitelyNew = flagged.filter(!col("maybe_seen")).drop("maybe_seen")
@@ -134,7 +134,9 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
   def run(pages: DataFrame, seedUrl: String, warehouse: String): CrawlResult = {
     val store = new SnapshotStore(spark, warehouse)
     val robots = robotsTable(pages).persist(StorageLevel.MEMORY_AND_DISK)
-    robots.count()
+    // no robots rows (the common case) ⇒ the gate is a constant-true filter
+    // and the whole suppression machinery is skipped (2 jobs/epoch saved)
+    val hasRobots = robots.count() > 0
 
     val seedAllowed = {
       val rules = robots.filter(col("host") === graft.robots.Robots.hostKey(seedUrl))
@@ -172,25 +174,66 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
 
     var frontierCount = frontier.count()
 
+    // Incrementally-maintained seen sketch (O-7b): per-partition build +
+    // treeAggregate merge over each epoch's DELTA only, OR-merged into the
+    // running filter — no full rescan of visited per epoch. Rebuilt from the
+    // manifest's visited table on resume.
+    var seenSketch: BloomSketch = null
+    def mergeIntoSketch(urls: DataFrame): Unit = {
+      if (seenSketch == null)
+        seenSketch = BloomSketch.forExpected(config.bloomExpectedTotal, config.bloomFpp)
+      // few, larger leaf tasks: every treeAggregate leaf ships one full-size
+      // sketch, so bound the leaf count rather than the row count
+      val rdd0 = urls.select("url").as[String].rdd
+      val rdd = if (rdd0.getNumPartitions > 8) rdd0.coalesce(8) else rdd0
+      val delta = BloomSketch.build(rdd, config.bloomExpectedTotal, config.bloomFpp)
+      seenSketch.merge(delta)
+    }
+    if (snapshot.tables("visited").totalRows >= config.bloomMinSeen / 2)
+      mergeIntoSketch(store.readTable(snapshot, "visited"))
+
     while (frontierCount > 0 && epoch < config.maxEpochs) {
       val t0 = System.nanoTime()
+      var tLast = t0
+      val stepMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      def lap(name: String): Unit = {
+        val now = System.nanoTime()
+        stepMs(s"ms_$name") = (now - tLast) / 1000000L
+        tLast = now
+      }
       val visitedSoFar = store.readTable(snapshot, "visited")
-      val linksSoFar = store.readTable(snapshot, "links")
       val suppressedSoFar = store.readTable(snapshot, "suppressed")
       val visitedRows = snapshot.tables("visited").totalRows
 
-      // 1. politeness gate
-      val (fetchNowRaw, defer, gateCaches) = politenessSplit(
-        frontier.repartition(P, col("url")))
+      // 1. politeness gate. The frontier parquet was hash-distributed at
+      // write time; no re-shuffle here — the budget window (when enabled)
+      // shuffles by (host, salt) itself.
+      val (fetchNowRaw, defer, gateCaches) = politenessSplit(frontier)
 
-      // 2. visited delta = fetched this epoch (written first, re-read below)
-      val vState = store.writeDelta("visited", epoch,
-        fetchNowRaw.select(lit(epoch).as("epoch"), col("url")),
-        Some(snapshot.tables("visited")))
-      val fetchNow = spark.read.parquet(s"$warehouse/visited/epoch=$epoch")
+      // 2. visited delta = fetched this epoch. fetchNowRaw reads straight
+      // from the frontier manifest files (1-hop lineage), so the write runs
+      // CONCURRENTLY with extraction on a separate action thread.
+      val fetchNow = fetchNowRaw
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val vStateF = Future {
+        store.writeDelta("visited", epoch,
+          fetchNow.select(lit(epoch).as("epoch"), col("url")),
+          Some(snapshot.tables("visited")))
+      }
+      lap("visited_write_launch")
 
-      // 3. fetch join + extract + clean (crawler.py:30-42)
-      val fetched = fetchNow.select("url").join(pages.select("url", "html"), Seq("url"), "left")
+      // 3. fetch join + extract + clean (crawler.py:30-42). INNER join is
+      // semantics-preserving: visited-marking happened above (step 2) and a
+      // missing page row contributes an empty link set either way
+      // (crawler.py:45-46). Small epochs broadcast the frontier side and
+      // stream the pages scan (no pages shuffle); huge epochs fall back to a
+      // shuffled join that AQE can re-plan.
+      val fetchKeys =
+        if (frontierCount <= config.broadcastFetchMax)
+          broadcast(fetchNow.select("url"))
+        else fetchNow.select("url").repartition(P, col("url"))
+      val fetched = pages.select("url", "html").join(fetchKeys, Seq("url"))
       val cleanLinks = fetched
         .select(col("url").as("page_url"), explode_outer(extract_hrefs(col("html"))).as("href"))
         .filter(col("href").isNotNull)
@@ -200,26 +243,36 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-      // 4. links delta (O-10 union-distinct, incremental form)
-      val newLinks = cleanLinks.join(linksSoFar.select("url"), Seq("url"), "left_anti")
-      val lState = store.writeDelta("links", epoch, newLinks, Some(snapshot.tables("links")))
+      // 4. links delta (O-10): append this epoch's per-epoch-distinct links;
+      // the global distinct is taken once at read time (distinct of unions ==
+      // union of distincts for set semantics) — avoids an O(|links|) anti-join
+      // shuffle per epoch.
+      val lState = store.writeDelta("links", epoch, cleanLinks,
+        Some(snapshot.tables("links")))
+      lap("links_write")
 
       // 5. in-domain + robots gates
       val inDom = cleanLinks
         .filter(url_in_domain(col("url"), lit(config.domain)))
         .withColumn("host", host_key(col("url")))
-      val gated = inDom
-        .join(broadcast(robots), Seq("host"), "left")
-        .withColumn("allowed",
-          coalesce(robots_allowed(col("url"), col("prefixes"), col("allows")), lit(true)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val newSuppressed = gated.filter(!col("allowed"))
-        .select("url")
-        .join(suppressedSoFar.select("url"), Seq("url"), "left_anti")
-        .distinct()
-      val sState = store.writeDelta("suppressed", epoch, newSuppressed,
-        Some(snapshot.tables("suppressed")))
-      val suppressedAll = spark.read.parquet(sState.files: _*)
+      val gated =
+        if (hasRobots)
+          inDom
+            .join(broadcast(robots), Seq("host"), "left")
+            .withColumn("allowed",
+              coalesce(robots_allowed(col("url"), col("prefixes"), col("allows")), lit(true)))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        else inDom.withColumn("allowed", lit(true))
+      val sState =
+        if (hasRobots) {
+          val newSuppressed = gated.filter(!col("allowed"))
+            .select("url")
+            .join(suppressedSoFar.select("url"), Seq("url"), "left_anti")
+            .distinct()
+          store.writeDelta("suppressed", epoch, newSuppressed,
+            Some(snapshot.tables("suppressed")))
+        } else snapshot.tables("suppressed").copy(deltaRows = 0L)
+      lap("suppressed_write")
 
       // 6. next frontier = (allowed ∪ deferred) − visited(≤e) − suppressed(≤e)
       val candidates = gated.filter(col("allowed")).select("url", "host")
@@ -228,13 +281,26 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         .persist(StorageLevel.MEMORY_AND_DISK)
       // BASELINE.json metric numerator: URLs scheduled + entering dedup
       val candidatesIn = candidates.count()
+      lap("candidates_count")
       val visitedAll = visitedSoFar.select("url")
         .union(fetchNow.select("url"))
-      val next = dedupAgainst(candidates, visitedAll, visitedRows + vState.deltaRows)
-        .join(suppressedAll.select("url"), Seq("url"), "left_anti")
-        .repartition(P, col("url"))
+      val seenCountNow = visitedRows + frontierCount // upper bound estimate
+      if (seenCountNow >= config.bloomMinSeen / 2) mergeIntoSketch(fetchNow)
+      val deduped = dedupAgainst(candidates, visitedAll, seenCountNow,
+        Option(seenSketch))
+      // deduped is already hash-partitioned by url (dropDuplicates/anti-join
+      // shuffles); writing it directly keeps that distribution in the files
+      // and lets AQE coalesce small epochs to few files.
+      val next =
+        if (sState.totalRows > 0)
+          deduped.join(spark.read.parquet(sState.files: _*).select("url"),
+            Seq("url"), "left_anti")
+        else deduped
       val fState = store.writeDelta("frontier", epoch + 1, next,
         Some(snapshot.tables("frontier")), fullRewrite = true)
+      lap("frontier_write")
+      val vState = Await.result(vStateF, scala.concurrent.duration.Duration.Inf)
+      lap("visited_join")
 
       val wallMs = (System.nanoTime() - t0) / 1000000L
       snapshot = store.commit(epoch, Map(
@@ -248,11 +314,11 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
           "new_suppressed" -> sState.deltaRows,
           "candidates_in" -> candidatesIn,
           "next_frontier" -> fState.deltaRows,
-          "wall_ms" -> wallMs))
+          "wall_ms" -> wallMs) ++ stepMs)
 
       candidates.unpersist()
       cleanLinks.unpersist()
-      gated.unpersist()
+      if (hasRobots) gated.unpersist()
       gateCaches.foreach(_.unpersist())
       frontier = store.readTable(snapshot, "frontier")
       frontierCount = fState.deltaRows
@@ -262,7 +328,7 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
     val visited = store.readTable(snapshot, "visited")
     CrawlResult(
       trace = visited.orderBy("epoch", "url"),
-      links = store.readTable(snapshot, "links"),
+      links = store.readTable(snapshot, "links").distinct(),
       visited = visited,
       epochs = epoch,
       lastSnapshot = snapshot)

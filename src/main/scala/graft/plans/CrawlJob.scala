@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point (north_rule: "run via spark-submit on
+  * multi-executor clusters"):
+  *
+  *   spark-submit --class graft.plans.CrawlJob graft.jar \
+  *     --pages <parquet path|synth:N> --domain <domain> \
+  *     --warehouse <dir> [--budget K] [--partitions P] [--max-epochs E]
+  *
+  * Resumes automatically from the newest valid snapshot in the warehouse.
+  * With `--pages synth:N` the input is the deterministic SiteGen table
+  * (scaling/bench runs); otherwise any parquet with the input_hint schema
+  * (url, warc_ts, html, text, lang).
+  */
+object CrawlJob {
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val a = parseArgs(args)
+    val domain = a.getOrElse("domain", "example.com")
+    val warehouse = a.getOrElse("warehouse",
+      sys.error("--warehouse is required"))
+    val partitions = a.get("partitions").map(_.toInt).getOrElse(32)
+    val budget = a.get("budget").map(_.toInt)
+    val maxEpochs = a.get("max-epochs").map(_.toInt).getOrElse(Int.MaxValue)
+
+    val builder = SparkSession.builder().appName(s"graft-crawl-$domain")
+    // under spark-submit the master comes from the launcher; default local
+    val spark = (if (sys.props.contains("spark.master") ||
+        sys.env.contains("SPARK_MASTER")) builder
+      else builder.master(s"local[$partitions]")
+        .config("spark.sql.shuffle.partitions", partitions))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val pages = a.getOrElse("pages", "synth:10000") match {
+      case s if s.startsWith("synth:") =>
+        graft.synth.SiteGen.pages(spark, domain, s.stripPrefix("synth:").toLong,
+          hosts = 32, outDegree = 12, numPartitions = partitions)
+      case path => spark.read.parquet(path)
+    }
+
+    val engine = new CrawlEngine(spark,
+      CrawlConfig(domain, budget = budget, numPartitions = partitions,
+        maxEpochs = maxEpochs))
+    val result = engine.run(pages, s"https://$domain", warehouse)
+    val links = result.lastSnapshot.tables("links").totalRows
+    val visited = result.lastSnapshot.tables("visited").totalRows
+    println(s"crawl complete: epochs=${result.epochs} visited=$visited " +
+      s"link_rows=$links warehouse=$warehouse")
+    spark.stop()
+  }
+}

@@ -5,6 +5,8 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Self-built Iceberg-semantics layer (SURVEY.md §1.4): Parquet data files +
@@ -55,7 +57,11 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
       .sorted
-    val deltaRows = spark.read.parquet(dir.toString).count()
+    // row counts from parquet footers, driver-side — no extra Spark job
+    val deltaRows = files.map { fp =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(fp), hconf))
+      try r.getRecordCount finally r.close()
+    }.sum
     val parentFiles = if (fullRewrite) Nil else parent.map(_.files).getOrElse(Nil)
     val parentRows = if (fullRewrite) 0L else parent.map(_.totalRows).getOrElse(0L)
     TableState(parentFiles ++ files, deltaRows, parentRows + deltaRows)

@@ -99,7 +99,9 @@ object SiteGen {
           if ((draw(seed, i, 60) & 3) == 0L) "fr" else "en")
       }
     }.toDF("url", "warc_ts", "html", "text", "lang")
-    val seedLinks = (0L until math.min(nPages, math.max(outDegree * 4L, 16L)))
+    // wide seed fanout keeps BFS depth ~O(log) at bench scale
+    val seedLinks = (0L until math.min(nPages, math.max(outDegree * 4L,
+      math.min(4096L, nPages / 8))))
       .map(j => s"""<a href="${pageUrl(domain, hosts, j)}">s$j</a>""").mkString
     val seedHtml =
       s"""<html><head><meta charset="utf-8"><title>$domain</title></head><body>$seedLinks</body></html>"""

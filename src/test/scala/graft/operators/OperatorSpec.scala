@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.textops.TextOps
+
+/** Unit correctness for the training-data operators (dedup, similarity,
+  * text analysis, media stub) with hand-checkable expectations.
+  */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val docA2 = "the quick brown fox jumps over the lazy dog near the river bank tonight" // 1 word
+  private val docB = "spark executes distributed dataframe plans with catalyst optimizer and tungsten codegen"
+  private val docC = "completely unrelated text about cooking pasta with tomato sauce and basil leaves"
+
+  private def docs = Seq(
+    (1L, docA), (2L, docA2), (3L, docB), (4L, docC), (5L, docA) // 5 = exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts duplicates") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.find(_._1 == 1L).get._3 == 2L) // docs 1 and 5
+  }
+
+  test("minhash LSH finds the near-duplicate pair with exact jaccard") {
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    // expected exact jaccard of (1,2) from the same shingle definition
+    val sa = TextOps.shingles(docA, 3).toSet
+    val sb = TextOps.shingles(docA2, 3).toSet
+    val expected = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && math.abs(j - expected) < 1e-12 })
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 5L && j == 1.0 })
+    assert(!pairs.exists { case (a, b, _) => Set(a, b) == Set(3L, 4L) })
+  }
+
+  test("simhash finds identical and near pairs, not unrelated ones") {
+    val pairs = Dedup.simHash(docs, "doc_id", "text", maxHamming = 16)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 5L && h == 0 })
+    assert(!pairs.exists { case (a, b, _) => Set(a, b) == Set(3L, 4L) })
+  }
+
+  test("ngram jaccard on explicit pairs matches set arithmetic") {
+    val pairs = Seq((1L, 3L), (1L, 5L)).toDF("a", "b")
+    val out = Dedup.ngramJaccard(docs, pairs, "doc_id", "text", shingleK = 3)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val sa = TextOps.shingles(docA, 3).toSet
+    val sb = TextOps.shingles(docB, 3).toSet
+    val expected13 = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    assert(math.abs(out((1L, 3L)) - expected13) < 1e-12)
+    assert(out((1L, 5L)) == 1.0)
+  }
+
+  test("brute-force ANN returns the true nearest neighbor") {
+    // vec 0 ≈ vec 1 (same direction), vec 2 orthogonal, vec 3 opposite
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = SimSearch.bruteForceTopK(embs, embs.filter(col("vec_id") === 0), "vec_id",
+      "embedding", k = 3).as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(top.head._2 == 1L) // rank 1 = closest
+    assert(top.last._2 == 3L) // rank 3 = opposite
+    assert(top.head._3 > 0.99)
+  }
+
+  test("LSH ANN results are a subset of brute-force with identical scores") {
+    val embs = Seq.tabulate(50) { i =>
+      (i.toLong, Array.tabulate(8)(d => TextOps.mix64(i * 8 + d).toFloat / Long.MaxValue))
+    }.toDF("vec_id", "embedding")
+    val q = embs.filter(col("vec_id") < 5)
+    val brute = SimSearch.bruteForceTopK(embs, q, "vec_id", "embedding", k = 49)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = SimSearch.lshTopK(embs, q, "vec_id", "embedding", k = 5, planes = 4)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (qid, nid, cos, _) =>
+      assert(math.abs(brute((qid, nid)) - cos) < 1e-12) // same exact cosine
+    }
+  }
+
+  test("language id identifies obvious samples") {
+    assert(TextOps.langId("the cat sat on the mat and it was happy with this") == "en")
+    assert(TextOps.langId("le chat est dans la maison et il est content pour ce jour") == "fr")
+    assert(TextOps.langId("der hund ist in dem haus und das ist nicht schlecht für ihn") == "de")
+    assert(TextOps.langId("el perro es un animal y la casa es grande para los dos") == "es")
+    assert(TextOps.langId("这是一个中文句子 用来测试语言识别") == "zh")
+    assert(TextOps.langId("") == "und")
+    assert(TextOps.langId("zzz qqq xxx") == "und")
+  }
+
+  test("quality score orders trash below prose") {
+    val good = TextOps.qualityScore(
+      "This is a well formed paragraph of reasonable length with the kind of " +
+        "words that a quality classifier is looking for in the document.")
+    val trash = TextOps.qualityScore("@@@ ### !!! $$$ %%% 123 456 789 000 ***")
+    assert(good > trash)
+    assert(TextOps.qualityScore("") <= 600)
+  }
+
+  test("media pipeline is deterministic with correct shapes") {
+    val m = graft.multimodal.MediaOps.synthesize(docs, "doc_id", "text")
+    val f1 = graft.multimodal.MediaOps.extractFeatures(m, dim = 16).collect().sortBy(_.doc_id)
+    val f2 = graft.multimodal.MediaOps.extractFeatures(m, dim = 16).collect().sortBy(_.doc_id)
+    assert(f1.length == 5)
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+    assert(f1.forall(_.features.length == 16))
+    val video = f1.filter(_.mediaType == "video")
+    assert(video.forall(_.frames >= 1))
+  }
+}
