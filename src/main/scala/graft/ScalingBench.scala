@@ -27,7 +27,14 @@ object ScalingBench {
     spark.sparkContext.setLogLevel("WARN")
 
     Bench.crawlKernel(spark, 20000L, cores) // JIT/codegen warmup
-    val (sec, scheduled, visited) = Bench.crawlKernel(spark, nPages, cores)
+    // best-of-3: the sandbox VM shows CPU-steal noise; min is the least
+    // contaminated estimate of true cost
+    val runs = (1 to 3).map { i =>
+      val r = Bench.crawlKernel(spark, nPages, cores)
+      println(f"""{"metric":"scaling_rep","cores":$cores,"rep":$i,"sec":${r._1}%.2f}""")
+      r
+    }
+    val (sec, scheduled, visited) = runs.minBy(_._1)
     val thr = scheduled / sec
     println(
       f"""{"metric":"scaling_point","cores":$cores,"n_pages":$nPages,"urls_per_sec":$thr%.1f,"sec":$sec%.2f,"scheduled":$scheduled,"visited":$visited}""")

@@ -53,9 +53,12 @@ object HtmlExtract {
     dec.decode(bb).toString
   }
 
-  private final class Collector extends HtmlEvents {
+  private final class Collector(collectText: Boolean) extends HtmlEvents {
     val links = List.newBuilder[String]
     val text = new java.lang.StringBuilder
+    override def wantsData: Boolean = collectText
+    override def wantsAllTags: Boolean = collectText
+    override def tagFilter(name: String): Boolean = name == "a"
 
     override def startTag(name: String, attrs: List[(String, Option[String])]): Unit =
       if (name == "a") {
@@ -68,13 +71,13 @@ object HtmlExtract {
         if (has) links += href
       }
 
-    override def data(t: String): Unit = text.append(t)
+    override def data(t: String): Unit = if (collectText) text.append(t)
   }
 
   /** (hrefs in document order, extracted text). Never throws. */
   def extract(htmlBytes: Array[Byte]): (List[String], String) = {
     try {
-      val c = new Collector
+      val c = new Collector(collectText = true)
       HtmlTokenizer.parse(decode(htmlBytes), c)
       (c.links.result(), c.text.toString)
     } catch {
@@ -82,6 +85,13 @@ object HtmlExtract {
     }
   }
 
-  def extractLinks(htmlBytes: Array[Byte]): List[String] = extract(htmlBytes)._1
+  /** Links only — skips text accumulation (hot path of the crawl loop). */
+  def extractLinks(htmlBytes: Array[Byte]): List[String] =
+    try {
+      val c = new Collector(collectText = false)
+      HtmlTokenizer.parse(decode(htmlBytes), c)
+      c.links.result()
+    } catch { case _: Exception => Nil }
+
   def extractText(htmlBytes: Array[Byte]): String = extract(htmlBytes)._2
 }

@@ -7,6 +7,17 @@ import java.util.regex.Pattern
   * builder then normalizes None → "").
   */
 trait HtmlEvents {
+  /** false ⇒ the tokenizer skips building/unescaping character data. */
+  def wantsData: Boolean = true
+
+  /** When false, start tags failing [[tagFilter]] skip attribute parsing
+    * entirely (sound only together with wantsData=false: the skipped work
+    * can influence nothing but data/attr events). script/style always take
+    * the full path (CDATA-mode entry depends on the start-end check).
+    */
+  def wantsAllTags: Boolean = true
+  def tagFilter(name: String): Boolean = true
+
   def startTag(name: String, attrs: List[(String, Option[String])]): Unit = ()
   def startEndTag(name: String, attrs: List[(String, Option[String])]): Unit =
     startTag(name, attrs)
@@ -106,6 +117,10 @@ object HtmlTokenizer {
       if (!tm.lookingAt()) return endpos // unreachable per CPython assert
       var k = tm.end()
       val tag = tm.group(1).toLowerCase(java.util.Locale.ROOT)
+      if (!cb.wantsAllTags && !cb.tagFilter(tag) &&
+        !CDATA_CONTENT_ELEMENTS.contains(tag)) {
+        return endpos // links-only fast path: tag is irrelevant to every event
+      }
       var attrsDone = false
       while (k < endpos && !attrsDone) {
         val am = attrfindTolerant.matcher(rawdata)
@@ -239,7 +254,7 @@ object HtmlTokenizer {
         else { break2 = true; j = i } // unterminated cdata: trailing data dropped
       }
       if (!break2) {
-        if (i < j) {
+        if (i < j && cb.wantsData) {
           val text = rawdata.substring(i, j)
           cb.data(if (cdataElem == null) Entities.unescape(text) else text)
         }
@@ -262,8 +277,10 @@ object HtmlTokenizer {
                 k = find("<", i + 1)
                 if (k < 0) k = i + 1
               } else k += 1
-              val text = rawdata.substring(i, k)
-              cb.data(if (cdataElem == null) Entities.unescape(text) else text)
+              if (cb.wantsData) {
+                val text = rawdata.substring(i, k)
+                cb.data(if (cdataElem == null) Entities.unescape(text) else text)
+              }
             }
           }
           i = k

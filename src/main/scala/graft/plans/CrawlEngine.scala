@@ -32,7 +32,7 @@ final case class CrawlConfig(
     bloomFpp: Double = 0.01,
     bloomMinSeen: Long = 100000L,
     bloomExpectedTotal: Long = 10000000L,
-    broadcastFetchMax: Long = 4000000L,
+    broadcastFetchMax: Long = 100000L,
     maxEpochs: Int = Int.MaxValue)
 
 final case class CrawlResult(
@@ -40,7 +40,23 @@ final case class CrawlResult(
     links: DataFrame, // (url) — crawler.py all_links equivalent
     visited: DataFrame, // (epoch, url)
     epochs: Int,
-    lastSnapshot: Snapshot)
+    lastSnapshot: Snapshot) {
+
+  /** O-11 parity sink (crawler.py:93-97): sorted unique links, one per
+    * line, UTF-8, each line \n-terminated. Single-file output mirrors the
+    * reference's links.txt. Note Spark string order is UTF-16 code-unit
+    * order; BMP-only corpora make it equal to the reference's code-point
+    * sort (SURVEY.md §2 O-11 caveat).
+    */
+  def saveLinks(path: String): Unit =
+    links.orderBy("url").coalesce(1).write.mode("overwrite").text(path)
+
+  /** O-13 trace sink: the "Analizzando:" sequence under the §A.1 canonical
+    * order.
+    */
+  def saveTrace(path: String): Unit =
+    trace.select("url").coalesce(1).write.mode("overwrite").text(path)
+}
 
 /** Distributed level-synchronous BFS crawl over a pages table — the Spark
   * re-expression of crawler.py's worker loop (SURVEY.md §3.4). One epoch =
@@ -237,9 +253,8 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       val cleanLinks = fetched
         .select(col("url").as("page_url"), explode_outer(extract_hrefs(col("html"))).as("href"))
         .filter(col("href").isNotNull)
-        .withColumn("joined", url_resolve(col("page_url"), col("href")))
-        .filter(url_scheme(col("joined")).isin("http", "https"))
-        .select(clean_url(col("joined")).as("url"))
+        .select(graft.url.urlfns2.resolve_clean(col("page_url"), col("href")).as("url"))
+        .filter(col("url").isNotNull) // null = scheme-filtered (O-5)
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -45,8 +45,17 @@ object PyUrl {
   private def sanitize(url0: String): String = {
     var start = 0
     while (start < url0.length && url0.charAt(start) <= ' ') start += 1
-    val sb = new java.lang.StringBuilder(url0.length - start)
+    var needsCopy = false
     var i = start
+    while (i < url0.length && !needsCopy) {
+      val c = url0.charAt(i)
+      if (c == '\t' || c == '\r' || c == '\n') needsCopy = true
+      i += 1
+    }
+    if (start == 0 && !needsCopy) return url0 // common case: no allocation
+    if (!needsCopy) return url0.substring(start)
+    val sb = new java.lang.StringBuilder(url0.length - start)
+    i = start
     while (i < url0.length) {
       val c = url0.charAt(i)
       if (c != '\t' && c != '\r' && c != '\n') sb.append(c)
@@ -176,6 +185,19 @@ object PyUrl {
     val p = urlparse(url, "")
     val base = p.scheme + "://" + p.netloc + p.path
     if (p.query.nonEmpty) base + "?" + p.query else base
+  }
+
+  /** Fused per-link pipeline (crawler.py:36-42): urljoin, single urlparse,
+    * scheme∈{http,https} filter, clean rebuild. Returns null when filtered —
+    * byte-identical to scheme/cleanUrl over urljoin, with one parse of the
+    * joined URL instead of three (the reference also parses once).
+    */
+  def resolveClean(base: String, href: String): String = {
+    val joined = urljoin(base, href)
+    val p = urlparse(joined, "")
+    if (p.scheme != "http" && p.scheme != "https") return null
+    val b = p.scheme + "://" + p.netloc + p.path
+    if (p.query.nonEmpty) b + "?" + p.query else b
   }
 
   /** crawler.py:37-38 — scheme of the (joined) URL; lowercased by urlparse. */

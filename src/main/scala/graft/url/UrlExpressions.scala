@@ -96,3 +96,28 @@ object urlfns {
   def url_in_domain(u: Column, domain: Column): Column =
     column(UrlInDomain(expression(u), expression(domain)))
 }
+
+/** Fused crawler.py:36-42 per-link pipeline: UrlResolve → scheme filter →
+  * CleanUrl in one expression, one parse. NULL output = filtered by scheme.
+  */
+case class ResolveClean(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(base: Any, href: Any): Any =
+    UrlOps.resolveClean(base.asInstanceOf[UTF8String], href.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, h) => s"""
+      ${ev.value} = graft.url.UrlOps.resolveClean($b, $h);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ResolveClean =
+    copy(left = l, right = r)
+}
+
+object urlfns2 {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+  def resolve_clean(base: Column, href: Column): Column =
+    column(ResolveClean(expression(base), expression(href)))
+}

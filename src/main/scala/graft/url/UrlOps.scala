@@ -25,6 +25,12 @@ object UrlOps {
   def resolve(base: UTF8String, href: UTF8String): UTF8String =
     UTF8String.fromString(PyUrl.urljoin(base.toString, href.toString))
 
+  /** null ⇒ scheme filtered out (crawler.py:37-38). */
+  def resolveClean(base: UTF8String, href: UTF8String): UTF8String = {
+    val r = PyUrl.resolveClean(base.toString, href.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
   def inDomain(u: UTF8String, domain: UTF8String): Boolean =
     PyUrl.inDomain(u.toString, domain.toString)
 }

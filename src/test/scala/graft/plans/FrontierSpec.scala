@@ -98,6 +98,21 @@ class FrontierSpec extends AnyFunSuite {
     checkScenario("robots")
   }
 
+  test("saveLinks writes a bit-exact links.txt (O-11 sink parity)") {
+    val (result, _) = runScenario("basic")
+    val out = Files.createTempDirectory("graft-linkstxt-").toString + "/links"
+    result.saveLinks(out)
+    val part = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+    assert(part.length == 1)
+    val got = Files.readAllBytes(part.head.toPath)
+    val golden = {
+      val in = getClass.getResourceAsStream("/sites/basic/links.txt")
+      try in.readAllBytes() finally in.close()
+    }
+    assert(java.util.Arrays.equals(got, golden))
+  }
+
   test("resume: interrupted run continues to identical final state") {
     val (domain, budget) = config("basic")
     val pages = loadPages("basic")

@@ -1,0 +1,75 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.url.urlfns._
+
+/** Physical-plan quality gates (SURVEY.md §4.2): predicate pushdown, column
+  * pruning, whole-stage codegen over the custom expressions, and broadcast
+  * join selection. These are the properties the 100 TB design depends on —
+  * pinned as tests so regressions surface immediately.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("filter + projection reach the parquet scan (PushedFilters, ReadSchema)") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+  }
+
+  test("custom URL expressions run inside WholeStageCodegen") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(concat(lit("https://example.com/d/"), col("doc_id")).as("url"))
+      .select(clean_url(col("url")).as("c"), url_host(col("url")).as("h"))
+      .filter(url_scheme(col("url")) === "https")
+    val plan = formatted(df)
+    // the Project/Filter containing our expressions must carry a codegen id
+    val projLine = plan.linesIterator.find(_.matches(".*Project \\[codegen id : \\d+\\].*"))
+    assert(projLine.isDefined, plan)
+    assert(plan.contains("cleanurl"), plan)
+    val filterLine = plan.linesIterator.find(_.matches(".*Filter \\[codegen id : \\d+\\].*"))
+    assert(filterLine.isDefined, plan)
+  }
+
+  test("small dimension join is a BroadcastHashJoin") {
+    val plan = formatted(
+      graft.SparkEntry.queries("q_join_cust_orders")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("seen-set dedup is an anti join keyed on url") {
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    val plan = formatted(
+      e.select(col("user_id")).distinct()
+        .join(e.filter(col("event_type") === "x").select("user_id"),
+          Seq("user_id"), "left_anti"))
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("extraction chain stays in one codegen span (no UDF boundary)") {
+    import graft.html.htmlfns._
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("text").cast("binary").as("html"),
+        concat(lit("https://example.com/p/"), col("doc_id")).as("url"))
+      .select(col("url"), explode(extract_hrefs(col("html"))).as("href"))
+      .select(clean_url(url_resolve(col("url"), col("href"))).as("link"))
+    val plan = formatted(df)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLFunction"), plan)
+    val genLine = plan.linesIterator.find(_.matches(".*Generate \\[codegen id : \\d+\\].*"))
+    assert(genLine.isDefined, plan)
+    assert(plan.contains("cleanurl(urlresolve"), plan)
+  }
+}

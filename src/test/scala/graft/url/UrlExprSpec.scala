@@ -57,6 +57,10 @@ class UrlExprSpec extends AnyFunSuite {
       assert(PyUrl.scheme(joined) == scheme, s"scheme of $joined")
       val kept = scheme == "http" || scheme == "https"
       assert(kept == (keep == "true"), s"keep of $joined")
+      // fused pipeline must agree exactly: null = filtered
+      val fused = PyUrl.resolveClean(base, href)
+      if (kept) assert(fused == Vectors.b64(cleanB), s"resolveClean($base, $href)")
+      else assert(fused == null, s"resolveClean($base, $href) should be null")
       if (kept) {
         val clean = PyUrl.cleanUrl(joined)
         assert(clean == Vectors.b64(cleanB), s"clean of $joined")
