@@ -51,6 +51,50 @@ object Bench {
     (sec, scheduled, result.lastSnapshot.tables("visited").totalRows)
   }
 
+  /** Steady-state kernel: ONE epoch over a production-shaped frontier (every
+    * page URL pre-seeded), the regime that dominates at 10^10 scale — the
+    * whole-BFS kernel above spends most wall time in tiny ramp-up epochs
+    * whose per-epoch barrier latency misrepresents large-cluster behavior.
+    * Returns (sec, urlsScheduledDeduped).
+    */
+  def steadyKernel(spark: SparkSession, nPages: Long, partitions: Int): (Double, Long) = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val domain = "example.com"
+    val pages = SiteGen.pages(spark, domain, nPages, hosts = 32,
+      outDegree = 12, numPartitions = partitions)
+      .repartition(partitions, col("url"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pages.count()
+    val wh = Files.createTempDirectory("graft-steady-").toString
+    // bootstrap snapshot: frontier = every page URL (the steady-state shape)
+    val store = new SnapshotStore(spark, wh)
+    val frontier0 = pages.select(col("url"),
+      graft.plans.planfns.host_key(col("url")).as("host"),
+      lit(0L).as("priority"))
+    val fState = store.writeDelta("frontier", 0, frontier0, None, fullRewrite = true)
+    val vState = store.writeDelta("visited", -1,
+      Seq.empty[(Int, String)].toDF("epoch", "url"), None)
+    val lState = store.writeDelta("links", -1, Seq.empty[String].toDF("url"), None)
+    val sState = store.writeDelta("suppressed", -1, Seq.empty[String].toDF("url"), None)
+    store.commit(-1, Map("frontier" -> fState, "visited" -> vState,
+      "links" -> lState, "suppressed" -> sState), Map("seed" -> fState.deltaRows))
+
+    val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    val t0 = System.nanoTime()
+    val result = new CrawlEngine(spark,
+      CrawlConfig(domain, numPartitions = partitions, bloomMinSeen = 50000L,
+        bloomExpectedTotal = math.max(nPages * 4, 1000000L), maxEpochs = 1))
+      .run(pages, s"https://$domain", wh)
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
+    val scheduled = store.snapshotAt(0)
+      .map(_.metrics.getOrElse("candidates_in", 0L)).getOrElse(0L)
+    pages.unpersist()
+    (sec, scheduled)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

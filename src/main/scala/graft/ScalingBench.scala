@@ -17,6 +17,7 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val cores = if (args.nonEmpty) args(0).toInt else 32
     val nPages = if (args.length > 1) args(1).toLong else 200000L
+    val mode = if (args.length > 2) args(2) else "steady"
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
@@ -26,18 +27,23 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    Bench.crawlKernel(spark, 20000L, cores) // JIT/codegen warmup
+    def once(n: Long): (Double, Long) = mode match {
+      case "bfs" =>
+        val r = Bench.crawlKernel(spark, n, cores); (r._1, r._2)
+      case _ => Bench.steadyKernel(spark, n, cores)
+    }
+    once(20000L) // JIT/codegen warmup
     // best-of-3: the sandbox VM shows CPU-steal noise; min is the least
     // contaminated estimate of true cost
     val runs = (1 to 3).map { i =>
-      val r = Bench.crawlKernel(spark, nPages, cores)
-      println(f"""{"metric":"scaling_rep","cores":$cores,"rep":$i,"sec":${r._1}%.2f}""")
+      val r = once(nPages)
+      println(f"""{"metric":"scaling_rep","mode":"$mode","cores":$cores,"rep":$i,"sec":${r._1}%.2f}""")
       r
     }
-    val (sec, scheduled, visited) = runs.minBy(_._1)
+    val (sec, scheduled) = runs.minBy(_._1)
     val thr = scheduled / sec
     println(
-      f"""{"metric":"scaling_point","cores":$cores,"n_pages":$nPages,"urls_per_sec":$thr%.1f,"sec":$sec%.2f,"scheduled":$scheduled,"visited":$visited}""")
+      f"""{"metric":"scaling_point","mode":"$mode","cores":$cores,"n_pages":$nPages,"urls_per_sec":$thr%.1f,"sec":$sec%.2f,"scheduled":$scheduled}""")
     spark.stop()
   }
 }

@@ -109,18 +109,21 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
     config.budget match {
       case None => (frontier, frontier.limit(0), Nil)
       case Some(b) =>
+        // priority-queue order (O-9): (priority asc, url asc). Trace-match
+        // mode uses constant priority, which degenerates to the SURVEY §A.1
+        // lexicographic contract.
         val salted = frontier.withColumn(
           "salt", pmod(xxhash64(col("url")), lit(config.saltBuckets)))
         val r1 = salted.withColumn("r1",
-          row_number().over(Window.partitionBy("host", "salt").orderBy("url")))
+          row_number().over(Window.partitionBy("host", "salt").orderBy("priority", "url")))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val survivors = r1.filter(col("r1") <= b)
         val r2 = survivors.withColumn("r2",
-          row_number().over(Window.partitionBy("host").orderBy("url")))
+          row_number().over(Window.partitionBy("host").orderBy("priority", "url")))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val fetchNow = r2.filter(col("r2") <= b).select("url", "host")
-        val defer = r1.filter(col("r1") > b).select("url", "host")
-          .union(r2.filter(col("r2") > b).select("url", "host"))
+        val fetchNow = r2.filter(col("r2") <= b).select("url", "host", "priority")
+        val defer = r1.filter(col("r1") > b).select("url", "host", "priority")
+          .union(r2.filter(col("r2") > b).select("url", "host", "priority"))
         (fetchNow, defer, Seq(r1, r2))
     }
 
@@ -172,8 +175,8 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         frontier = store.readTable(s, "frontier")
       case None =>
         val seedDf =
-          (if (seedAllowed) Seq((seedUrl, graft.robots.Robots.hostKey(seedUrl))) else Nil)
-            .toDF("url", "host")
+          (if (seedAllowed) Seq((seedUrl, graft.robots.Robots.hostKey(seedUrl), 0L)) else Nil)
+            .toDF("url", "host", "priority")
         val suppressedSeed =
           (if (seedAllowed) Nil else Seq(seedUrl)).toDF("url")
         // epoch "-1" bootstrap snapshot: seed frontier, empty state
@@ -290,7 +293,8 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       lap("suppressed_write")
 
       // 6. next frontier = (allowed ∪ deferred) − visited(≤e) − suppressed(≤e)
-      val candidates = gated.filter(col("allowed")).select("url", "host")
+      val candidates = gated.filter(col("allowed"))
+        .select(col("url"), col("host"), lit(0L).as("priority"))
         .union(defer)
         .dropDuplicates("url")
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -16,8 +16,8 @@ object MicroBench {
     htmls.foreach { h => links += HtmlExtract.extract(h)._1.size }
     val perPage = (System.nanoTime() - t0) / 1e3 / n
     println(f"MICRO extract 1-thread: $perPage%.1f us/page ($links links)")
-    // 32 concurrent threads over the same corpus
-    val threads = 32
+    // concurrent threads over the same corpus
+    val threads = sys.env.getOrElse("MICRO_THREADS", "32").toInt
     val counter = new java.util.concurrent.atomic.AtomicLong()
     t0 = System.nanoTime()
     val ts = (0 until threads).map { t =>
