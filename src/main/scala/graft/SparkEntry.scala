@@ -107,6 +107,16 @@ object SparkEntry {
           unix_micros(min(col("ts")).cast("timestamp")).as("first_us"),
           unix_micros(max(col("ts")).cast("timestamp")).as("last_us"))
     },
+    "q_stream_window" -> { (s, d) =>
+      // batch twin of graft.streaming.EventStream.windowedCounts (same
+      // tumbling-window semantics; integer-exact cents for the oracle)
+      s.read.parquet(t(d, "events"))
+        .groupBy(window(col("ts").cast("timestamp"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select(unix_micros(col("window.start")).as("ws_us"),
+          col("event_type"), col("cnt"), col("cents"))
+    },
     // ---- training-data ops over documents (oracle'd subset) ----------------
     "q_doc_exact_dedup" -> { (s, d) =>
       Dedup.exact(s.read.parquet(t(d, "documents")), "doc_id", "text")
@@ -248,6 +258,11 @@ object SparkEntry {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
          epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
          FROM events GROUP BY user_id""",
+    "q_stream_window" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events GROUP BY 1, 2""",
     "q_doc_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS text_hash,
          CAST(count(*) AS BIGINT) AS dup_count

@@ -26,7 +26,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * so uncommitted (crashed) epoch directories are invisible — exact resume.
   */
 object SnapshotStore {
-  final case class TableState(files: Seq[String], deltaRows: Long, totalRows: Long)
+  /** One data file = one write partition: (path, rows) is the per-partition
+    * lineage + row metric the north_rule asks for.
+    */
+  final case class DataFile(path: String, rows: Long)
+  final case class TableState(dataFiles: Seq[DataFile], deltaRows: Long, totalRows: Long) {
+    def files: Seq[String] = dataFiles.map(_.path)
+  }
   final case class Snapshot(
       snapshotId: Long,
       parentId: Long,
@@ -53,18 +59,20 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     val dir = new Path(new Path(root, table), s"epoch=$epoch")
     delta.write.mode("overwrite").parquet(dir.toString)
     val f = fs(dir)
-    val files = f.listStatus(dir).toSeq
+    val paths = f.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
       .sorted
-    // row counts from parquet footers, driver-side — no extra Spark job
-    val deltaRows = files.map { fp =>
+    // per-file row counts from parquet footers, driver-side — no Spark job;
+    // one file = one write partition, so this IS the per-partition lineage
+    val dataFiles = paths.map { fp =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(fp), hconf))
-      try r.getRecordCount finally r.close()
-    }.sum
-    val parentFiles = if (fullRewrite) Nil else parent.map(_.files).getOrElse(Nil)
+      try DataFile(fp, r.getRecordCount) finally r.close()
+    }
+    val deltaRows = dataFiles.map(_.rows).sum
+    val parentFiles = if (fullRewrite) Nil else parent.map(_.dataFiles).getOrElse(Nil)
     val parentRows = if (fullRewrite) 0L else parent.map(_.totalRows).getOrElse(0L)
-    TableState(parentFiles ++ files, deltaRows, parentRows + deltaRows)
+    TableState(parentFiles ++ dataFiles, deltaRows, parentRows + deltaRows)
   }
 
   /** Read a table through the manifest's file list (never the directory). */
@@ -101,7 +109,11 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       o.put("delta_rows", st.deltaRows)
       o.put("total_rows", st.totalRows)
       val arr = o.putArray("files")
-      st.files.foreach(arr.add)
+      st.dataFiles.foreach { df =>
+        val fo = arr.addObject()
+        fo.put("path", df.path)
+        fo.put("rows", df.rows)
+      }
     }
     val mnode = node.putObject("metrics")
     for ((k, v) <- metrics.toSeq.sortBy(_._1)) mnode.put(k, v)
@@ -147,7 +159,9 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     val tables = node.get("tables").properties().asScala.map { e =>
       val name = e.getKey
       val o = e.getValue
-      val files = o.get("files").asInstanceOf[ArrayNode].asScala.map(_.asText()).toSeq
+      val files = o.get("files").asInstanceOf[ArrayNode].asScala.map { fn =>
+        DataFile(fn.get("path").asText(), fn.get("rows").asLong())
+      }.toSeq
       name -> TableState(files, o.get("delta_rows").asLong(), o.get("total_rows").asLong())
     }.toMap
     val metrics = Option(node.get("metrics")).map { m: JsonNode =>

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream table shape
+  * (event_id, ts, user_id, event_type, value, props). The reference has no
+  * event-time notion (SURVEY.md §1.3 — the crawl itself is deliberately
+  * batch-epoch), so these are the engine's forward-looking streaming surface:
+  * watermarked windowed aggregation and custom keyed state via
+  * flatMapGroupsWithState, per the builder-prompt streaming checklist row.
+  *
+  * Both transforms are pure DataFrame→DataFrame functions: they run
+  * identically on a `readStream` source (incl. MemoryStream in tests) and on
+  * batch frames.
+  */
+object EventStream {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      total_value: Double)
+
+  /** flatMapGroupsWithState state record (public: Spark's state encoder
+    * generates constructor calls in codegen'd Java).
+    */
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Watermarked sliding-window counts per event type: late data beyond the
+    * watermark is dropped; windows finalize when the watermark passes.
+    */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+      windowLen: String = "1 hour", slide: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("cnt"), col("total_value"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * when no event arrives for `gapMinutes` of event time (enforced by an
+    * event-time timeout keyed to the watermark).
+    */
+  def sessionize(events: Dataset[Event], watermark: String = "10 minutes",
+      gapMinutes: Int = 30): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
