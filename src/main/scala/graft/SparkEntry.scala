@@ -161,6 +161,11 @@ object SparkEntry {
       SimSearch.lshTopK(e, e.filter(col("vec_id") < 20), "vec_id",
         "embedding", k = 5, planes = 8)
     },
+    "q_ann_ivf" -> { (s, d) =>
+      val e = s.read.parquet(t(d, "embeddings"))
+      graft.operators.SimSearchIvf.ivfTopK(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
+    },
     "q_media_features" -> { (s, d) =>
       val docs = s.read.parquet(t(d, "documents"))
       MediaOps.extractFeatures(

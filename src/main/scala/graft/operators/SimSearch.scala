@@ -90,6 +90,99 @@ object SimSearch {
   }
 }
 
+object SimSearchIvf {
+  import org.apache.spark.sql.SparkSession
+
+  /** Deterministic driver-side k-means coarse quantizer (fixed iterations,
+    * init = lowest-id vectors) — the IVF index's training step. Centroid
+    * count is tiny (≤ a few thousand); training data is a bounded sample.
+    */
+  def trainCentroids(sample: Array[(Long, Array[Float])], nLists: Int,
+      iters: Int): Array[Array[Float]] = {
+    val sorted = sample.sortBy(_._1)
+    val dim = sorted.head._2.length
+    var centroids = sorted.take(nLists).map(_._2.map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nLists)(new Array[Double](dim))
+      val counts = new Array[Long](nLists)
+      sorted.foreach { case (_, v) =>
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = Array.tabulate(nLists) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    centroids.map(_.map(_.toFloat))
+  }
+
+  def nearest(v: Array[Float], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d2 = 0.0
+      var d = 0
+      while (d < v.length) {
+        val diff = v(d) - centroids(c)(d); d2 += diff * diff; d += 1
+      }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def nearestN(v: Array[Float], centroids: Array[Array[Double]], n: Int): Array[Int] = {
+    centroids.zipWithIndex.map { case (cv, i) =>
+      var d2 = 0.0
+      var d = 0
+      while (d < v.length) { val diff = v(d) - cv(d); d2 += diff * diff; d += 1 }
+      (d2, i)
+    }.sortBy(_._1).take(n).map(_._2)
+  }
+
+  /** IVF ANN: k-means coarse quantizer → corpus sharded into inverted lists
+    * → each query probes its nProbe nearest lists only → exact cosine top-k
+    * within the probed lists. At scale the list assignment shuffles by list
+    * id, so the candidate join touches |corpus|·nProbe/nLists rows.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+      trainN: Int = 4096, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].sort(col(idCol)).limit(trainN).collect()
+    val centroids = trainCentroids(sample, nLists, iters).map(_.map(_.toDouble))
+    val bcast = spark.sparkContext.broadcast(centroids)
+
+    val listed = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, nearest(v, bcast.value)) }
+      .toDF("neighbor_id", "cv", "list")
+    val probed = queries.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        nearestN(v, bcast.value, nProbe).map(l => (id, v, l))
+      }.toDF("query_id", "qv", "list")
+
+    val scored = listed.join(probed, Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", SimSearch.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}
+
 /** Hyperplane component as a tiny deterministic expression, kept separate so
   * hyperplaneBucket stays a pure Column composition.
   */

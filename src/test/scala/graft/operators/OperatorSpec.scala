@@ -91,6 +91,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: deterministic, exact cosines, self-cluster recall") {
+    val embs = Seq.tabulate(60) { i =>
+      // 4 well-separated clusters in 8-d
+      val c = i % 4
+      (i.toLong, Array.tabulate(8)(d =>
+        (if (d == c * 2) 1.0f else 0.0f) +
+          0.05f * (TextOps.mix64(i * 8 + d).toFloat / Long.MaxValue)))
+    }.toDF("vec_id", "embedding")
+    val q = embs.filter(col("vec_id") < 4)
+    val r1 = SimSearchIvf.ivfTopK(embs, q, "vec_id", "embedding", k = 3,
+      nLists = 4, nProbe = 1).as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val r2 = SimSearchIvf.ivfTopK(embs, q, "vec_id", "embedding", k = 3,
+      nLists = 4, nProbe = 1).as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(r1.toSeq == r2.toSeq) // deterministic
+    // with clean clusters, every top-1 neighbor shares the query's cluster
+    val brute = SimSearch.bruteForceTopK(embs, q, "vec_id", "embedding", k = 59)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    r1.foreach { case (qid, nid, cos, rank) =>
+      assert(math.abs(brute((qid, nid)) - cos) < 1e-12)
+      if (rank == 1) assert(nid % 4 == qid % 4, s"q$qid top1=$nid")
+    }
+  }
+
   test("language id identifies obvious samples") {
     assert(TextOps.langId("the cat sat on the mat and it was happy with this") == "en")
     assert(TextOps.langId("le chat est dans la maison et il est content pour ce jour") == "fr")
