@@ -98,6 +98,10 @@ class FrontierSpec extends AnyFunSuite {
     checkScenario("robots")
   }
 
+  test("combo: budget=1 + per-host robots + subdomains + dead links together") {
+    checkScenario("combo")
+  }
+
   test("saveLinks writes a bit-exact links.txt (O-11 sink parity)") {
     val (result, _) = runScenario("basic")
     val out = Files.createTempDirectory("graft-linkstxt-").toString + "/links"

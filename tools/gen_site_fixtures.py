@@ -270,12 +270,44 @@ def site_robots():
     return d, pages, None
 
 
+def site_combo():
+    """budget=1 + robots + subdomains + dead links + off-domain together —
+    the feature-interaction scenario (deferral across epochs while robots
+    suppression and scope quirks are active)."""
+    d = "example.com"
+    robots = "\n".join([
+        "User-agent: *",
+        "Disallow: /blocked/",
+        "Allow: /blocked/but-ok",
+    ]).encode("utf-8")
+    pages = {
+        f"https://{d}/robots.txt": robots,
+        f"https://sub.{d}/robots.txt": b"User-agent: *\nDisallow: /sub-secret\n",
+        f"https://{d}": page(["/a", "/b", "/blocked/x", "/blocked/but-ok1",
+                              f"https://sub.{d}/s1", f"https://sub.{d}/s2",
+                              "https://other.org/ext", "dead1"]),
+        f"https://{d}/a": page(["/c", "/d", f"https://sub.{d}/sub-secret2"]),
+        f"https://{d}/b": page(["/c", "/blocked/y"]),
+        f"https://{d}/c": page([]),
+        f"https://{d}/d": page(["/a", "/e;params", "?q=1"]),
+        f"https://{d}/e": page([]),
+        f"https://{d}/blocked/but-ok1": page(["/f"]),
+        f"https://{d}/f": page([]),
+        f"https://sub.{d}/s1": page(["t1", "/s3"]),
+        f"https://sub.{d}/s2": page([]),
+        f"https://sub.{d}/s3": page([]),
+        f"https://sub.{d}/t1": page([]),
+    }
+    return d, pages, 1
+
+
 def main():
     scenarios = {
         "basic": site_basic,
         "quirks": site_quirks,
         "budget2": site_budget,
         "robots": site_robots,
+        "combo": site_combo,
     }
     for name, builder in scenarios.items():
         domain, pages, budget = builder()
