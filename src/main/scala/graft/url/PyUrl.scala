@@ -119,10 +119,16 @@ object PyUrl {
     } else s
   }
 
-  /** CPython `urlunsplit` + params reattachment (`urlunparse`). */
+  /** CPython 3.11 `urlunsplit` + params reattachment (`urlunparse`).
+    * Note the 3.11 authority rule (changed vs older Pythons): `//` is added
+    * whenever netloc is non-empty OR the scheme uses_netloc and the path
+    * does not already start with `//` — so `http` URLs keep an empty
+    * authority (`http:///p`).
+    */
   def urlunparse(p: Parsed): String = {
     var url = if (p.params.nonEmpty) p.path + ";" + p.params else p.path
-    if (p.netloc.nonEmpty || (url.length >= 2 && url.startsWith("//"))) {
+    if (p.netloc.nonEmpty ||
+      (p.scheme.nonEmpty && usesNetloc.contains(p.scheme) && !url.startsWith("//"))) {
       if (url.nonEmpty && !url.startsWith("/")) url = "/" + url
       url = "//" + p.netloc + url
     }

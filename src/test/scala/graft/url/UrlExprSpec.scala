@@ -48,7 +48,15 @@ class UrlExprSpec extends AnyFunSuite {
   }
 
   test("url_join.tsv: urljoin → scheme filter → clean → netloc → in_domain") {
-    for (row <- Vectors.load("url_join.tsv")) {
+    checkJoinVectors("url_join.tsv")
+  }
+
+  test("url_fuzz.tsv: 3000 randomized pipeline vectors match urllib") {
+    checkJoinVectors("url_fuzz.tsv")
+  }
+
+  private def checkJoinVectors(name: String): Unit = {
+    for (row <- Vectors.load(name)) {
       val Array(baseB, hrefB, joinedB, scheme, keep, cleanB, netlocB, inDom) = row
       val base = Vectors.b64(baseB)
       val href = Vectors.b64(hrefB)
