@@ -146,23 +146,33 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
     }
   }
 
-  /** Run the crawl to fixpoint (≡ queue.join(), crawler.py:85), committing a
-    * snapshot per epoch under `warehouse`. Resumes from the newest valid
-    * snapshot if one exists.
+  /** Single-seed form (crawler.py:13 — seed = https://domain). */
+  def run(pages: DataFrame, seedUrl: String, warehouse: String): CrawlResult =
+    run(pages, Seq(seedUrl), warehouse)
+
+  /** Run the crawl to fixpoint (≡ queue.join(), crawler.py:85) from a SEED
+    * LIST (north_star: "given the same seed list"), committing a snapshot
+    * per epoch under `warehouse`. Resumes from the newest valid snapshot if
+    * one exists. Epoch-0 frontier = sorted distinct allowed seeds.
     */
-  def run(pages: DataFrame, seedUrl: String, warehouse: String): CrawlResult = {
+  def run(pages: DataFrame, seedUrls: Seq[String], warehouse: String): CrawlResult = {
     val store = new SnapshotStore(spark, warehouse)
     val robots = robotsTable(pages).persist(StorageLevel.MEMORY_AND_DISK)
     // no robots rows (the common case) ⇒ the gate is a constant-true filter
     // and the whole suppression machinery is skipped (2 jobs/epoch saved)
     val hasRobots = robots.count() > 0
 
-    val seedAllowed = {
-      val rules = robots.filter(col("host") === graft.robots.Robots.hostKey(seedUrl))
-        .as[(String, Array[String], Array[Boolean])].collect()
-      rules.isEmpty || graft.robots.Robots.allowed(seedUrl,
-        rules.head._2.zip(rules.head._3).map { case (p, a) => graft.robots.Robots.Rule(p, a) }.toSeq)
-    }
+    val collectedRules: Map[String, Seq[graft.robots.Robots.Rule]] =
+      if (!hasRobots) Map.empty
+      else robots.as[(String, Array[String], Array[Boolean])].collect()
+        .map { case (h, ps, as) =>
+          h -> ps.zip(as).map { case (p, a) => graft.robots.Robots.Rule(p, a) }.toSeq
+        }.toMap
+    def seedAllowed(u: String): Boolean =
+      graft.robots.Robots.allowed(u,
+        collectedRules.getOrElse(graft.robots.Robots.hostKey(u), Nil))
+    val (allowedSeeds, blockedSeeds) =
+      seedUrls.distinct.sorted.partition(seedAllowed)
 
     var snapshot: Snapshot = null
     var frontier: DataFrame = null
@@ -174,11 +184,10 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         epoch = s.epoch + 1
         frontier = store.readTable(s, "frontier")
       case None =>
-        val seedDf =
-          (if (seedAllowed) Seq((seedUrl, graft.robots.Robots.hostKey(seedUrl), 0L)) else Nil)
-            .toDF("url", "host", "priority")
-        val suppressedSeed =
-          (if (seedAllowed) Nil else Seq(seedUrl)).toDF("url")
+        val seedDf = allowedSeeds
+          .map(u => (u, graft.robots.Robots.hostKey(u), 0L))
+          .toDF("url", "host", "priority")
+        val suppressedSeed = blockedSeeds.toDF("url")
         // epoch "-1" bootstrap snapshot: seed frontier, empty state
         val fState = store.writeDelta("frontier", 0, seedDf, None, fullRewrite = true)
         val vState = store.writeDelta("visited", -1, Seq.empty[(Int, String)].toDF("epoch", "url"), None)

@@ -47,10 +47,12 @@ object CrawlJob {
       case path => spark.read.parquet(path)
     }
 
+    val seeds = a.get("seeds").map(_.split(",").toSeq)
+      .getOrElse(Seq(s"https://$domain"))
     val engine = new CrawlEngine(spark,
       CrawlConfig(domain, budget = budget, numPartitions = partitions,
         maxEpochs = maxEpochs))
-    val result = engine.run(pages, s"https://$domain", warehouse)
+    val result = engine.run(pages, seeds, warehouse)
     val links = result.lastSnapshot.tables("links").totalRows
     val visited = result.lastSnapshot.tables("visited").totalRows
     println(s"crawl complete: epochs=${result.epochs} visited=$visited " +

@@ -36,19 +36,22 @@ class FrontierSpec extends AnyFunSuite {
     rows.toDF("url", "warc_ts", "html", "text", "lang")
   }
 
-  private def config(scenario: String): (String, Option[Int]) = {
+  private def config(scenario: String): (String, Option[Int], Seq[String]) = {
     val json = resLines(s"/sites/$scenario/config.json").mkString
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     val budget = Option(node.get("budget")).filterNot(_.isNull).map(_.asInt())
-    (node.get("domain").asText(), budget)
+    val seeds = Option(node.get("seeds")).map { arr =>
+      (0 until arr.size()).map(arr.get(_).asText())
+    }.getOrElse(Seq(s"https://${node.get("domain").asText()}"))
+    (node.get("domain").asText(), budget, seeds)
   }
 
   private def runScenario(scenario: String): (CrawlResult, String) = {
-    val (domain, budget) = config(scenario)
+    val (domain, budget, seeds) = config(scenario)
     val wh = Files.createTempDirectory(s"graft-$scenario-").toString
     val engine = new CrawlEngine(spark,
       CrawlConfig(domain = domain, budget = budget, numPartitions = 4))
-    val result = engine.run(loadPages(scenario), s"https://$domain", wh)
+    val result = engine.run(loadPages(scenario), seeds, wh)
     (result, wh)
   }
 
@@ -117,8 +120,12 @@ class FrontierSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(got, golden))
   }
 
+  test("multiseed: seed-list crawl matches the oracle (north_star seed list)") {
+    checkScenario("multiseed")
+  }
+
   test("resume: interrupted run continues to identical final state") {
-    val (domain, budget) = config("basic")
+    val (domain, budget, _) = config("basic")
     val pages = loadPages("basic")
     val whFull = Files.createTempDirectory("graft-full-").toString
     val whPart = Files.createTempDirectory("graft-part-").toString
@@ -136,7 +143,7 @@ class FrontierSpec extends AnyFunSuite {
   }
 
   test("crash: torn manifest and uncommitted data dirs are invisible on resume") {
-    val (domain, budget) = config("basic")
+    val (domain, budget, _) = config("basic")
     val pages = loadPages("basic")
     val wh = Files.createTempDirectory("graft-crash-").toString
     new CrawlEngine(spark, CrawlConfig(domain, budget, numPartitions = 4, maxEpochs = 3))

@@ -124,8 +124,8 @@ def robots_allowed(url, rules):
 
 
 # ---- canonical-serialization crawl ------------------------------------------
-def crawl(pages, domain, budget=None):
-    seed = f"https://{domain}"
+def crawl(pages, domain, budget=None, seeds=None):
+    seeds = seeds or [f"https://{domain}"]
     robots_rules = {}  # host → rules
     for url, body in pages.items():
         p = urlparse(url)
@@ -139,9 +139,12 @@ def crawl(pages, domain, budget=None):
     visited_set = set()
     suppressed = set()  # robots-blocked, never rescheduled
     all_links = set()
-    frontier = [seed] if allowed(seed) else []
-    if not frontier:
-        suppressed.add(seed)
+    frontier = []
+    for seed in sorted(set(seeds)):
+        if allowed(seed):
+            frontier.append(seed)
+        else:
+            suppressed.add(seed)
     epochs = []
     while frontier:
         epochs.append(list(frontier))
@@ -270,6 +273,24 @@ def site_robots():
     return d, pages, None
 
 
+def site_multiseed():
+    """Two seeds on different hosts reaching partly-disjoint islands —
+    the north_star's 'seed list' shape."""
+    d = "example.com"
+    pages = {
+        f"https://{d}": page(["/i1", "/shared"]),
+        f"https://{d}/i1": page(["/i2"]),
+        f"https://{d}/i2": page([]),
+        f"https://{d}/shared": page([f"https://h2.{d}/j2"]),
+        f"https://h2.{d}/start": page(["/j1", f"https://{d}/shared"]),
+        f"https://h2.{d}/j1": page(["/j2"]),
+        f"https://h2.{d}/j2": page([]),
+        f"https://{d}/island": page(["/unreachable"]),  # no seed reaches this
+    }
+    seeds = [f"https://{d}", f"https://h2.{d}/start"]
+    return d, pages, None, seeds
+
+
 def site_combo():
     """budget=1 + robots + subdomains + dead links + off-domain together —
     the feature-interaction scenario (deferral across epochs while robots
@@ -308,10 +329,16 @@ def main():
         "budget2": site_budget,
         "robots": site_robots,
         "combo": site_combo,
+        "multiseed": site_multiseed,
     }
     for name, builder in scenarios.items():
-        domain, pages, budget = builder()
-        visited, links, epochs = crawl(pages, domain, budget)
+        out_tuple = builder()
+        if len(out_tuple) == 4:
+            domain, pages, budget, seeds = out_tuple
+        else:
+            domain, pages, budget = out_tuple
+            seeds = [f"https://{domain}"]
+        visited, links, epochs = crawl(pages, domain, budget, seeds)
         sdir = os.path.join(OUT, name)
         os.makedirs(sdir, exist_ok=True)
         with open(os.path.join(sdir, "pages.tsv"), "w") as f:
@@ -320,7 +347,7 @@ def main():
                         base64.b64encode(pages[url]).decode("ascii") + "\n")
         with open(os.path.join(sdir, "config.json"), "w") as f:
             json.dump({"domain": domain, "budget": budget,
-                       "seed_url": f"https://{domain}"}, f)
+                       "seed_url": f"https://{domain}", "seeds": seeds}, f)
         with open(os.path.join(sdir, "trace.txt"), "w", encoding="utf-8") as f:
             for u in visited:
                 f.write(u + "\n")
