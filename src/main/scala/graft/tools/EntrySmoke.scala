@@ -9,7 +9,7 @@ object EntrySmoke {
     val t0 = System.nanoTime()
     val df = graft.SparkEntry.entry(spark)
     val n = df.count()
-    println(s"ENTRY links=$n in ${(System.nanoTime()-t0)/1e9}%.1f s")
+    println(f"ENTRY links=$n in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     df.orderBy("url").show(5, truncate = false)
     spark.stop()
   }
