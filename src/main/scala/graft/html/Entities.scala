@@ -45,10 +45,14 @@ object Entities {
   private def replaceNumeric(s: String): String = {
     val hex = s.length > 1 && (s.charAt(1) == 'x' || s.charAt(1) == 'X')
     val digits = (if (hex) s.substring(2) else s.substring(1)).stripSuffix(";")
-    // Python ints are unbounded; anything too long is > 0x10FFFF anyway.
+    // Python ints are unbounded: strip leading zeros first (so
+    // &#x0000000041; is still 'A'), then anything longer than 7 significant
+    // digits is > 0x10FFFF in either radix; 7 digits always fit an Int.
+    val sig = digits.dropWhile(_ == '0')
     val num =
-      if (digits.length > 8) 0x110000
-      else Integer.parseInt(digits, if (hex) 16 else 10)
+      if (sig.isEmpty) 0
+      else if (sig.length > 7) 0x110000
+      else Integer.parseInt(sig, if (hex) 16 else 10)
     invalidCharrefs.get(num) match {
       case Some(rep) => rep
       case None =>

@@ -63,6 +63,15 @@ NASTY = [
     "trailing <",
     "trailing &",
     "<a href='/f'>f</a><",
+    # 8+-hex-digit / huge numeric charrefs (Integer-overflow regression class)
+    "big &#xFFFFFFFF; charref",
+    "big &#x80000000; charref",
+    "zeros &#x0000000041; keep",
+    "dec &#4294967295; huge",
+    "dec &#0000000065; zeros",
+    "edge &#x110000; &#x10FFFF; &#1114112;",
+    '<a href="/big?c=&#xFFFFFFFF;">bigattr</a>',
+    '<a href="/z&#x0000000041;">zattr</a>',
 ]
 
 WORDS = ["plain", "text", "&amp;", "café", "1<2", "&#65;", "tail&copy;", "x"]
