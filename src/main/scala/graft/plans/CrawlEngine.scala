@@ -21,8 +21,18 @@ import graft.url.urlfns._
   * @param saltBuckets     pre-aggregation salt for the per-host budget window
   *                        (hot-host skew mitigation, SURVEY.md §4.3)
   * @param bloomFpp        seen-sketch false-positive rate
-  * @param bloomMinSeen    below this seen-set size, skip sketch build (the
-  *                        anti-join alone is cheaper than a treeAggregate)
+  * @param bloomMinSeen    below this seen-set size, skip the sketch entirely
+  *                        (the anti-join alone is cheaper). The sketch is
+  *                        built lazily from the FULL visited set the first
+  *                        time this threshold is crossed (and on resume), then
+  *                        maintained with per-epoch deltas — so it always
+  *                        covers every visited URL (no-false-negative
+  *                        invariant).
+  * @param bloomShards     url-hash buckets for the sharded file-backed sketch
+  * @param bloomFileProbe  Some(true) forces the sharded shard-file probe
+  *                        (the 10^10-scale path: no monolithic broadcast),
+  *                        Some(false) forces the broadcast probe, None = auto
+  *                        by sketch size vs bloomBroadcastMaxBytes
   */
 final case class CrawlConfig(
     domain: String,
@@ -32,6 +42,9 @@ final case class CrawlConfig(
     bloomFpp: Double = 0.01,
     bloomMinSeen: Long = 100000L,
     bloomExpectedTotal: Long = 10000000L,
+    bloomShards: Int = 32,
+    bloomFileProbe: Option[Boolean] = None,
+    bloomBroadcastMaxBytes: Long = 256L << 20,
     broadcastFetchMax: Long = 100000L,
     maxEpochs: Int = Int.MaxValue)
 
@@ -127,23 +140,21 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         (fetchNow, defer, Seq(r1, r2))
     }
 
-  /** candidates − seen, with the O-7b bloom fast path: build the sketch per
-    * partition, merge via treeAggregate, broadcast; !mightContain rows skip
-    * the anti-join entirely.
+  /** candidates − seen, with the O-7b bloom fast path: `probe` adds a
+    * `maybe_seen` flag (broadcast-sketch expression or sharded shard-file
+    * lookup); !maybe_seen rows skip the authoritative anti-join entirely.
+    * Exactness comes from the anti-join either way — the sketch only prunes.
     */
   private def dedupAgainst(candidates: DataFrame, seen: DataFrame,
-      seenCount: Long, sketch: Option[BloomSketch]): DataFrame = {
-    if (seenCount < config.bloomMinSeen || sketch.isEmpty) {
+      probe: Option[DataFrame => DataFrame]): DataFrame = probe match {
+    case None =>
       candidates.join(seen.select("url"), Seq("url"), "left_anti")
-    } else {
-      val bcast = spark.sparkContext.broadcast(sketch.get)
-      val flagged = candidates.withColumn(
-        "maybe_seen", bloom_might_contain(bcast, col("url")))
+    case Some(p) =>
+      val flagged = p(candidates)
       val definitelyNew = flagged.filter(!col("maybe_seen")).drop("maybe_seen")
       val maybeSeen = flagged.filter(col("maybe_seen")).drop("maybe_seen")
         .join(seen.select("url"), Seq("url"), "left_anti")
       definitelyNew.union(maybeSeen)
-    }
   }
 
   /** Single-seed form (crawler.py:13 — seed = https://domain). */
@@ -202,23 +213,42 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
 
     var frontierCount = frontier.count()
 
-    // Incrementally-maintained seen sketch (O-7b): per-partition build +
-    // treeAggregate merge over each epoch's DELTA only, OR-merged into the
-    // running filter — no full rescan of visited per epoch. Rebuilt from the
-    // manifest's visited table on resume.
+    // Incrementally-maintained seen sketch (O-7b). Activation is LAZY: the
+    // first epoch where the seen estimate crosses bloomMinSeen, the sketch is
+    // built from the FULL visited-so-far ∪ this epoch's fetch (also the
+    // resume path — file shards are re-merged idempotently); every later
+    // epoch folds in only the fetch delta. Invariant: whenever the probe is
+    // active, the sketch covers every URL in the authoritative seen set — no
+    // false negatives, so the dedup split is exact.
+    //
+    // Two physical forms:
+    //  - broadcast: one in-memory sketch, per-partition build + treeAggregate
+    //    merge of the delta (north_star path), rebroadcast + destroyed per
+    //    epoch. Right up to ~bloomBroadcastMaxBytes.
+    //  - sharded files (the 10^10 path): url-hash-bucketed shard files built
+    //    and probed executor-side (BloomShardStore) — the full sketch never
+    //    exists in one JVM and probes touch only each task's buckets.
+    val (sketchBits, sketchHashes) =
+      BloomSketch.sizing(config.bloomExpectedTotal, config.bloomFpp)
+    val fileProbe = config.bloomFileProbe
+      .getOrElse(sketchBits / 8 > config.bloomBroadcastMaxBytes)
+    val shardStore =
+      if (fileProbe)
+        new graft.sketch.BloomShardStore(s"$warehouse/sketch", config.bloomShards,
+          ((sketchBits / config.bloomShards + 63) >> 6) << 6, sketchHashes)
+      else null
     var seenSketch: BloomSketch = null
-    def mergeIntoSketch(urls: DataFrame): Unit = {
-      if (seenSketch == null)
-        seenSketch = BloomSketch.forExpected(config.bloomExpectedTotal, config.bloomFpp)
-      // few, larger leaf tasks: every treeAggregate leaf ships one full-size
-      // sketch, so bound the leaf count rather than the row count
-      val rdd0 = urls.select("url").as[String].rdd
-      val rdd = if (rdd0.getNumPartitions > 8) rdd0.coalesce(8) else rdd0
-      val delta = BloomSketch.build(rdd, config.bloomExpectedTotal, config.bloomFpp)
-      seenSketch.merge(delta)
-    }
-    if (snapshot.tables("visited").totalRows >= config.bloomMinSeen / 2)
-      mergeIntoSketch(store.readTable(snapshot, "visited"))
+    var sketchActive = false
+    def mergeIntoSketch(urls: DataFrame): Unit =
+      if (fileProbe) shardStore.mergeDelta(urls.select("url"))
+      else {
+        if (seenSketch == null) seenSketch = new BloomSketch(sketchBits, sketchHashes)
+        // few, larger leaf tasks: every treeAggregate leaf ships one
+        // full-size sketch, so bound the leaf count rather than the row count
+        val rdd0 = urls.select("url").as[String].rdd
+        val rdd = if (rdd0.getNumPartitions > 8) rdd0.coalesce(8) else rdd0
+        seenSketch.merge(BloomSketch.build(rdd, config.bloomExpectedTotal, config.bloomFpp))
+      }
 
     while (frontierCount > 0 && epoch < config.maxEpochs) {
       val t0 = System.nanoTime()
@@ -313,9 +343,19 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       val visitedAll = visitedSoFar.select("url")
         .union(fetchNow.select("url"))
       val seenCountNow = visitedRows + frontierCount // upper bound estimate
-      if (seenCountNow >= config.bloomMinSeen / 2) mergeIntoSketch(fetchNow)
-      val deduped = dedupAgainst(candidates, visitedAll, seenCountNow,
-        Option(seenSketch))
+      if (sketchActive) mergeIntoSketch(fetchNow) // maintain full coverage
+      else if (seenCountNow >= config.bloomMinSeen) {
+        mergeIntoSketch(visitedAll) // first activation: cover ALL seen urls
+        sketchActive = true
+      }
+      val bloomBcast =
+        if (sketchActive && !fileProbe) spark.sparkContext.broadcast(seenSketch)
+        else null
+      val probe: Option[DataFrame => DataFrame] =
+        if (!sketchActive) None
+        else if (fileProbe) Some(df => shardStore.probe(df, "url"))
+        else Some(df => df.withColumn("maybe_seen", bloom_might_contain(bloomBcast, col("url"))))
+      val deduped = dedupAgainst(candidates, visitedAll, probe)
       // deduped is already hash-partitioned by url (dropDuplicates/anti-join
       // shuffles); writing it directly keeps that distribution in the files
       // and lets AQE coalesce small epochs to few files.
@@ -329,6 +369,10 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       lap("frontier_write")
       val vState = Await.result(vStateF, scala.concurrent.duration.Duration.Inf)
       lap("visited_join")
+      // the per-epoch sketch broadcast is consumed only by the frontier
+      // write above — release it so long crawls don't accumulate broadcast
+      // state on the driver/executors
+      if (bloomBcast != null) bloomBcast.destroy()
 
       val wallMs = (System.nanoTime() - t0) / 1000000L
       snapshot = store.commit(epoch, Map(

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.robots.Robots
@@ -68,6 +68,22 @@ case class RobotsAllowed(first: Expression, second: Expression, third: Expressio
     copy(first = f, second = s, third = t)
 }
 
+/** Seen-sketch shard router: UrlShard(url, numBuckets) — the plan-side twin
+  * of [[graft.sketch.BloomShardStore.bucketOf]], used to co-partition
+  * candidates with their bucket's shard file.
+  */
+case class UrlShard(child: Expression, numBuckets: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.sketch.BloomShardStore.bucketOf(
+      input.asInstanceOf[UTF8String].getBytes, numBuckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.sketch.BloomShardStore.bucketOf($c.getBytes(), $numBuckets)")
+  override protected def withNewChildInternal(c: Expression): UrlShard = copy(child = c)
+}
+
 /** Bloom-sketch membership probe against a broadcast seen-set sketch —
   * the O-7b fast path. `false` ⇒ definitely unseen (no false negatives).
   */
@@ -93,4 +109,6 @@ object planfns {
     column(RobotsAllowed(expression(url), expression(prefixes), expression(allows)))
   def bloom_might_contain(b: Broadcast[BloomSketch], c: Column): Column =
     column(BloomMightContain(b, expression(c)))
+  def url_shard(c: Column, numBuckets: Int): Column =
+    column(UrlShard(expression(c), numBuckets))
 }

@@ -1,0 +1,153 @@
+package graft.sketch
+
+import java.io.{DataInputStream, DataOutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BooleanType
+
+/** Url-hash-bucket-sharded seen-set Bloom sketch persisted as one file per
+  * bucket — the 10^10-scale replacement for broadcasting one monolithic
+  * sketch (BASELINE.md's accounting: ~12 GB at 10^10 URLs, infeasible to
+  * broadcast; ~12 MB per bucket at 2^10 buckets).
+  *
+  * Design:
+  *  - bucket(url) is a pure hash (independent of the sketch's bit hashes),
+  *    computable both executor-side and plan-side ([[graft.plans.planfns.url_shard]]).
+  *  - '''build/merge''': the delta's urls are repartitioned BY BUCKET, so each
+  *    task owns whole buckets; it folds its urls into the existing bucket file
+  *    and atomically replaces it (FileContext rename OVERWRITE). No driver
+  *    materialization — the full sketch never exists in any single JVM.
+  *  - '''probe''': candidates are repartitioned by the same bucket key; each
+  *    task loads only the shard files for the buckets it holds (a map-side
+  *    join against the sketch table). Memory per task = O(one shard).
+  *  - Missing shard file ⇒ empty sketch ⇒ `maybe_seen = false`, which is
+  *    exact: a bucket file exists iff some seen url hashed to it, and
+  *    replacement is atomic. Bloom adds are idempotent, so task retries and
+  *    resume-time re-merges of already-merged urls are harmless.
+  *
+  * Crash safety: shard files are merged BEFORE the epoch's snapshot commit,
+  * so after a crash they can only be AHEAD of the resumed snapshot — extra
+  * bits cause false positives (routed to the authoritative anti-join), never
+  * false negatives.
+  */
+final class BloomShardStore(val dir: String, val numBuckets: Int,
+    val bitsPerShard: Long, val numHashes: Int) extends Serializable {
+  require(numBuckets > 0)
+  import BloomShardStore._
+
+  private def shardPath(b: Int): String = s"$dir/bucket-$b.bloom"
+
+  /** Fold `urls` (a single `url` string column) into the shard files. */
+  def mergeDelta(urls: DataFrame): Unit = {
+    val (d, bits, k, nb) = (dir, bitsPerShard, numHashes, numBuckets)
+    urls
+      .withColumn("__b", graft.plans.planfns.url_shard(col(urls.columns.head), nb))
+      .repartition(nb, col("__b"))
+      .sortWithinPartitions("__b")
+      .foreachPartition { (it: Iterator[Row]) =>
+        val conf = new Configuration()
+        var cur = -1
+        var sk: BloomSketch = null
+        def flush(): Unit = if (sk != null) writeShard(s"$d/bucket-$cur.bloom", sk, conf)
+        it.foreach { row =>
+          val b = row.getInt(1)
+          if (b != cur) {
+            flush()
+            cur = b
+            sk = readShard(s"$d/bucket-$b.bloom", conf)
+              .getOrElse(new BloomSketch(bits, k))
+          }
+          sk.add(row.getString(0))
+        }
+        flush()
+      }
+  }
+
+  /** Adds a `maybe_seen` boolean to `df`, routing each row to its bucket's
+    * shard file. `false` ⇒ definitely unseen (no false negatives).
+    */
+  def probe(df: DataFrame, urlCol: String): DataFrame = {
+    val (d, nb) = (dir, numBuckets)
+    val outSchema = df.schema.add("maybe_seen", BooleanType, nullable = false)
+    val width = df.schema.size
+    df.withColumn("__b", graft.plans.planfns.url_shard(col(urlCol), nb))
+      .repartition(nb, col("__b"))
+      .sortWithinPartitions("__b")
+      .mapPartitions { it =>
+        val conf = new Configuration()
+        var cur = -1
+        var sk: Option[BloomSketch] = None
+        it.map { row =>
+          val b = row.getInt(width)
+          if (b != cur) { cur = b; sk = readShard(s"$d/bucket-$b.bloom", conf) }
+          val u = row.getString(0)
+          val flag = sk.exists(_.mightContain(u))
+          Row.fromSeq(row.toSeq.dropRight(1) :+ flag)
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Bytes across all existing shard files (observability/tests). */
+  def totalBytes(conf: Configuration): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).filter(_.getPath.getName.endsWith(".bloom")).map(_.getLen).sum
+  }
+}
+
+object BloomShardStore {
+
+  /** Shard router — independent of BloomSketch's bit hashes (different salt
+    * into the same splitmix finalizer), so sharding does not bias per-shard
+    * bit distribution. Pure in the url bytes; the plan-side twin is
+    * [[graft.plans.UrlShard]].
+    */
+  def bucketOf(bytes: Array[Byte], numBuckets: Int): Int = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    var z = (h ^ 0x5851f42d4c957f2dL) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= (z >>> 31)
+    ((z & Long.MaxValue) % numBuckets).toInt
+  }
+
+  /** Atomic shard replace: tmp write + FileContext rename(OVERWRITE). */
+  private def writeShard(path: String, sk: BloomSketch, conf: Configuration): Unit = {
+    val fin = new Path(path)
+    val tmp = new Path(fin.getParent, s".tmp-${fin.getName}-${Thread.currentThread().getId}")
+    val fs = fin.getFileSystem(conf)
+    fs.mkdirs(fin.getParent)
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(fs.create(tmp, true)))
+    try {
+      out.writeLong(sk.numBits)
+      out.writeInt(sk.numHashes)
+      var i = 0
+      while (i < sk.words.length) { out.writeLong(sk.words(i)); i += 1 }
+    } finally out.close()
+    FileContext.getFileContext(fin.toUri, conf)
+      .rename(tmp, fin, Options.Rename.OVERWRITE)
+  }
+
+  private def readShard(path: String, conf: Configuration): Option[BloomSketch] = {
+    val p = new Path(path)
+    val fs: FileSystem = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = new DataInputStream(new java.io.BufferedInputStream(fs.open(p)))
+      try {
+        val bits = in.readLong()
+        val k = in.readInt()
+        val sk = new BloomSketch(bits, k)
+        var i = 0
+        while (i < sk.words.length) { sk.words(i) = in.readLong(); i += 1 }
+        Some(sk)
+      } finally in.close()
+    }
+  }
+}

@@ -81,11 +81,16 @@ final class BloomSketch(val numBits: Long, val numHashes: Int) extends Serializa
 
 object BloomSketch {
   /** Standard sizing: m = -n·ln(p)/ln(2)^2, k = m/n·ln(2). */
-  def forExpected(expectedItems: Long, fpp: Double): BloomSketch = {
+  def sizing(expectedItems: Long, fpp: Double): (Long, Int) = {
     val n = math.max(expectedItems, 64L)
     val m0 = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     val m = ((m0 + 63) >> 6) << 6
     val k = math.max(1, math.round(m.toDouble / n * math.log(2)).toInt)
+    (m, k)
+  }
+
+  def forExpected(expectedItems: Long, fpp: Double): BloomSketch = {
+    val (m, k) = sizing(expectedItems, fpp)
     new BloomSketch(m, k)
   }
 

@@ -1,0 +1,86 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Seen-sketch mode equivalence + the warm-up-gap regression: URLs fetched
+  * BEFORE the bloom activates must still be covered by the sketch when it
+  * does (ADVICE r1-high) — otherwise cyclic back-links re-enter the frontier
+  * and produce duplicate (epoch, url) visits.
+  */
+class BloomModeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val domain = "example.com"
+  private val n = 24
+
+  /** Chain 0→1→…→n-1→0, every page also back-links to pages 0 and 1: one new
+    * fetch per epoch, and every epoch re-proposes the earliest URLs.
+    */
+  private def cyclicPages: DataFrame = {
+    def url(i: Int) = s"https://$domain/p/$i"
+    (0 until n).map { i =>
+      val html =
+        s"""<a href="${url((i + 1) % n)}">next</a>
+           |<a href="${url(0)}">home</a><a href="${url(1)}">one</a>""".stripMargin
+      val bytes = html.getBytes("UTF-8")
+      (url(i), new java.sql.Timestamp(1700000000000L), bytes,
+        graft.html.HtmlExtract.extractText(bytes), "en")
+    }.toDF("url", "warc_ts", "html", "text", "lang")
+  }
+
+  private def crawl(cfg: CrawlConfig): (Seq[(Int, String)], Seq[String]) = {
+    val wh = Files.createTempDirectory("graft-bloommode-").toString
+    val r = new CrawlEngine(spark, cfg).run(cyclicPages, s"https://$domain/p/0", wh)
+    (r.trace.select("epoch", "url").as[(Int, String)].collect().toSeq,
+      r.links.select("url").as[String].collect().sorted.toSeq)
+  }
+
+  private lazy val plain = crawl(CrawlConfig(domain, numPartitions = 4,
+    bloomMinSeen = Long.MaxValue)) // sketch never activates: pure anti-join
+
+  test("warm-up: bloom activating mid-crawl never re-visits early URLs") {
+    // activates around epoch 3; pages 0..2 were fetched before activation
+    val (trace, links) = crawl(CrawlConfig(domain, numPartitions = 4,
+      bloomMinSeen = 4, bloomExpectedTotal = 1024))
+    val urls = trace.map(_._2)
+    assert(urls.distinct.size == urls.size, "duplicate visits")
+    assert((trace, links) == plain)
+  }
+
+  test("sharded shard-file probe ≡ broadcast probe ≡ plain anti-join") {
+    val wh = Files.createTempDirectory("graft-bloomfile-").toString
+    val r = new CrawlEngine(spark, CrawlConfig(domain, numPartitions = 4,
+      bloomMinSeen = 4, bloomExpectedTotal = 1024, bloomShards = 8,
+      bloomFileProbe = Some(true)))
+      .run(cyclicPages, s"https://$domain/p/0", wh)
+    val trace = r.trace.select("epoch", "url").as[(Int, String)].collect().toSeq
+    val links = r.links.select("url").as[String].collect().sorted.toSeq
+    assert((trace, links) == plain)
+    // the sketch lives as per-bucket files, built executor-side
+    val shardDir = new java.io.File(s"$wh/sketch")
+    val shards = Option(shardDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".bloom"))
+    assert(shards.nonEmpty, "no shard files written")
+  }
+
+  test("BloomShardStore: no false negatives across delta merges; misses stay mostly false") {
+    val dir = Files.createTempDirectory("graft-shardstore-").toString
+    val store = new graft.sketch.BloomShardStore(dir, 8, 64L * 64, 4)
+    val d1 = (0 until 300).map(i => s"https://a.com/$i").toDF("url")
+    val d2 = (300 until 600).map(i => s"https://a.com/$i").toDF("url")
+    store.mergeDelta(d1)
+    store.mergeDelta(d2)
+    val probed = store.probe((0 until 600).map(i => s"https://a.com/$i").toDF("url"), "url")
+    assert(probed.filter(!probed("maybe_seen")).count() == 0, "false negative")
+    val misses = store.probe(
+      (0 until 500).map(i => s"https://other.org/$i").toDF("url"), "url")
+    val fp = misses.filter(misses("maybe_seen")).count()
+    assert(fp < 100, s"FPP implausibly high: $fp/500")
+  }
+}
