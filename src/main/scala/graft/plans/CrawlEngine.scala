@@ -46,6 +46,7 @@ final case class CrawlConfig(
     bloomFileProbe: Option[Boolean] = None,
     bloomBroadcastMaxBytes: Long = 256L << 20,
     broadcastFetchMax: Long = 100000L,
+    robotsBroadcastMax: Long = 100000L,
     maxEpochs: Int = Int.MaxValue)
 
 final case class CrawlResult(
@@ -92,13 +93,18 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
 
   private val P = config.numPartitions
 
-  /** robots.txt rules per host, parsed once from the pages table. */
+  /** robots.txt rules per host, parsed once from the pages table. One row
+    * per host: when both http://h/robots.txt and https://h/robots.txt exist,
+    * the https body wins (then first-by-url) — duplicate host keys would
+    * fan out the left join and let one URL take both the allowed and the
+    * suppressed path.
+    */
   def robotsTable(pages: DataFrame): DataFrame = {
     val raw = pages
       .filter(col("url").endsWith("/robots.txt"))
       .select(col("url"), col("html"))
       .as[(String, Array[Byte])]
-    raw.flatMap { case (url, html) =>
+    val parsed = raw.flatMap { case (url, html) =>
       if (html == null) None
       else {
         val p = graft.url.PyUrl.urlparse(url)
@@ -106,11 +112,16 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         else {
           val body = new String(html, java.nio.charset.StandardCharsets.UTF_8)
           val rules = graft.robots.Robots.parse(body)
-          Some((graft.robots.Robots.hostKey(url),
+          Some((graft.robots.Robots.hostKey(url), url,
             rules.map(_.prefix).toArray, rules.map(_.allow).toArray))
         }
       }
-    }.toDF("host", "prefixes", "allows")
+    }.toDF("host", "src_url", "prefixes", "allows")
+    parsed
+      .withColumn("__r", row_number().over(Window.partitionBy("host")
+        .orderBy(col("src_url").startsWith("https://").desc, col("src_url"))))
+      .filter(col("__r") === 1)
+      .select("host", "prefixes", "allows")
   }
 
   /** Per-host budget gate: salted two-phase top-K so one hot host cannot
@@ -171,14 +182,21 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
     val robots = robotsTable(pages).persist(StorageLevel.MEMORY_AND_DISK)
     // no robots rows (the common case) ⇒ the gate is a constant-true filter
     // and the whole suppression machinery is skipped (2 jobs/epoch saved)
-    val hasRobots = robots.count() > 0
+    val robotsCount = robots.count()
+    val hasRobots = robotsCount > 0
 
+    // Seed gating needs rules only for the SEED hosts — semi-join before
+    // collecting, so a 10^8-host robots table never reaches the driver.
     val collectedRules: Map[String, Seq[graft.robots.Robots.Rule]] =
       if (!hasRobots) Map.empty
-      else robots.as[(String, Array[String], Array[Boolean])].collect()
-        .map { case (h, ps, as) =>
-          h -> ps.zip(as).map { case (p, a) => graft.robots.Robots.Rule(p, a) }.toSeq
-        }.toMap
+      else {
+        val seedHosts = seedUrls.map(graft.robots.Robots.hostKey).distinct.toDF("host")
+        robots.join(broadcast(seedHosts), Seq("host"), "left_semi")
+          .as[(String, Array[String], Array[Boolean])].collect()
+          .map { case (h, ps, as) =>
+            h -> ps.zip(as).map { case (p, a) => graft.robots.Robots.Rule(p, a) }.toSeq
+          }.toMap
+      }
     def seedAllowed(u: String): Boolean =
       graft.robots.Robots.allowed(u,
         collectedRules.getOrElse(graft.robots.Robots.hostKey(u), Nil))
@@ -315,7 +333,12 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       val gated =
         if (hasRobots)
           inDom
-            .join(broadcast(robots), Seq("host"), "left")
+            // size-gated: broadcast only a small rule table; a web-scale one
+            // (10^8 hosts) falls back to a shuffled equi-join on host
+            .join(
+              if (robotsCount <= config.robotsBroadcastMax) broadcast(robots)
+              else robots.repartition(P, col("host")),
+              Seq("host"), "left")
             .withColumn("allowed",
               coalesce(robots_allowed(col("url"), col("prefixes"), col("allows")), lit(true)))
             .persist(StorageLevel.MEMORY_AND_DISK)

@@ -40,10 +40,17 @@ object CrawlJob {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // --robots default ⇒ synthesize a per-host robots.txt (Disallow: /p/1*)
+    // for the synth table, exercising the gate end-to-end
+    val robotsBody = a.get("robots").map {
+      case "default" => "User-agent: *\nDisallow: /p/1\n"
+      case body      => body.replace("\\n", "\n")
+    }
     val pages = a.getOrElse("pages", "synth:10000") match {
       case s if s.startsWith("synth:") =>
         graft.synth.SiteGen.pages(spark, domain, s.stripPrefix("synth:").toLong,
-          hosts = 32, outDegree = 12, numPartitions = partitions)
+          hosts = 32, outDegree = 12, numPartitions = partitions,
+          robotsBody = robotsBody)
       case path => spark.read.parquet(path)
     }
 
