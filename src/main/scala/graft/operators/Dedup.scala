@@ -25,40 +25,60 @@ object Dedup {
 
   /** MinHash+LSH near-dup candidates, exactly verified by n-gram Jaccard.
     *
-    * shingle → minhash(numHashes) → split into `bands` bands → bucket-join
-    * on (band, band-slice hash) → distinct candidate pairs → exact Jaccard
-    * via array_intersect/array_union on the shingle sets → threshold.
-    * Output: (a, b, jaccard) with a < b.
+    * shingle → minhash(numHashes) → split into `bands` bands → IDS-ONLY
+    * bucket-join on (band, band-slice hash) → distinct candidate pairs →
+    * shingle sets re-joined per pair (the ngramJaccard shape) → exact
+    * Jaccard → threshold. Output: (a, b, jaccard) with a < b.
+    *
+    * Shuffle accounting (the 100-TB argument): the band join and the pair
+    * dedup move only (band, bucket, id) triples — shingle arrays cross the
+    * wire exactly once, keyed by id in the per-pair re-join, instead of
+    * bands× through the bucket join.
+    *
+    * `maxBucketSize` caps pathological buckets (N identical docs ⇒ N²/2
+    * pairs in one bucket): oversized buckets emit only CONSECUTIVE id pairs
+    * (a sorted chain, O(N) pairs) — mutual near-dups stay connected for
+    * downstream clustering while the quadratic blowup is cut. Default = no
+    * cap (and no extra shuffle), preserving exact candidate semantics.
     */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     val sigs = docs.select(
       col(idCol).as("id"),
-      shingles(col(textCol), shingleK).as("sh"),
       minhash_sig(col(textCol), shingleK, numHashes).as("sig"))
     // band buckets: one row per (doc, band) keyed by the slice hash
     val buckets = sigs.select(
-      col("id"), col("sh"),
+      col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(concat(lit("band"), b.cast("string"),
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("string")))))
         .as(Seq("band", "bucket")))
-    val l = buckets.select(col("band"), col("bucket"),
-      col("id").as("a"), col("sh").as("sha"))
-    val r = buckets.select(col("band"), col("bucket"),
-      col("id").as("b"), col("sh").as("shb"))
-    val pairs = l.join(r, Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
-      .select("a", "b", "sha", "shb")
-      .dropDuplicates("a", "b")
-    pairs
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("uni", size(array_union(col("sha"), col("shb"))))
-      .filter(col("uni") > 0)
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+    val pairs =
+      if (maxBucketSize == Int.MaxValue) {
+        val l = buckets.select(col("band"), col("bucket"), col("id").as("a"))
+        val r = buckets.select(col("band"), col("bucket"), col("id").as("b"))
+        l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+          .select("a", "b").dropDuplicates("a", "b")
+      } else {
+        val sized = buckets.withColumn("bsz",
+          count(lit(1)).over(Window.partitionBy("band", "bucket")))
+        val small = sized.filter(col("bsz") <= maxBucketSize)
+        val allPairs = small.select(col("band"), col("bucket"), col("id").as("a"))
+          .join(small.select(col("band"), col("bucket"), col("id").as("b")),
+            Seq("band", "bucket"))
+          .filter(col("a") < col("b")).select("a", "b")
+        val big = sized.filter(col("bsz") > maxBucketSize).withColumn("rk",
+          row_number().over(Window.partitionBy("band", "bucket").orderBy("id")))
+        val chained = big.select(col("band"), col("bucket"), col("rk"), col("id").as("a"))
+          .join(big.select(col("band"), col("bucket"), (col("rk") - 1).as("rk"),
+            col("id").as("b")), Seq("band", "bucket", "rk"))
+          .select("a", "b")
+        allPairs.union(chained).dropDuplicates("a", "b")
+      }
+    ngramJaccard(docs, pairs, idCol, textCol, shingleK)
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }

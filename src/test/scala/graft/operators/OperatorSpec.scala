@@ -42,6 +42,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => Set(a, b) == Set(3L, 4L) })
   }
 
+  test("minhash hot-bucket cap: identical docs chain in O(N) pairs, stay connected") {
+    val many = (1L to 20L).map(i => (i, docA)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLsh(many, "doc_id", "text", shingleK = 3,
+      numHashes = 64, bands = 16, threshold = 0.9, maxBucketSize = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.forall(_._3 == 1.0))
+    assert(pairs.size < 190, s"quadratic blowup not capped: ${pairs.size} pairs")
+    // connectivity: all 20 identical docs form one component
+    val parent = scala.collection.mutable.Map((1L to 20L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b, _) => parent(find(a)) = find(b) }
+    assert((1L to 20L).map(find).toSet.size == 1, "cap broke dup-cluster connectivity")
+  }
+
   test("simhash finds identical and near pairs, not unrelated ones") {
     val pairs = Dedup.simHash(docs, "doc_id", "text", maxHamming = 16)
       .as[(Long, Long, Int)].collect().toSeq

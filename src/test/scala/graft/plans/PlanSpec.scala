@@ -59,6 +59,41 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), plan)
   }
 
+  test("minhash LSH shuffles ids only: no array column in band/pair exchanges") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // at sf0.001 the planner would broadcast everything — force the shuffle
+    // plan shape that a 100 TB corpus would get
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // keep exchanges inspectable
+    val exchanges =
+      try {
+        val df = graft.operators.Dedup.minHashLsh(docs, "doc_id", "text",
+          shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    def keys(e: ShuffleExchangeExec): Set[String] = e.outputPartitioning match {
+      case h: HashPartitioning => h.expressions.flatMap(_.references.map(_.name)).toSet
+      case _                   => Set.empty
+    }
+    val bandExchanges = exchanges.filter(e => keys(e).intersect(Set("band", "bucket")).nonEmpty)
+    assert(bandExchanges.nonEmpty, "expected a band-bucket exchange")
+    // the LSH proposal and pair-dedup shuffles must carry no shingle arrays —
+    // arrays cross the wire only once, keyed by id in the per-pair re-join
+    for (e <- exchanges if keys(e).intersect(Set("band", "bucket")).nonEmpty ||
+        keys(e) == Set("a", "b")) {
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"array column shuffled in ${keys(e)} exchange: ${e.output.map(a => a.name -> a.dataType)}")
+    }
+  }
+
   test("extraction chain stays in one codegen span (no UDF boundary)") {
     import graft.html.htmlfns._
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
