@@ -156,6 +156,26 @@ object SparkEntry {
       SimSearch.bruteForceTopK(e, e.filter(col("vec_id") < 20), "vec_id",
         "embedding", k = 5)
     },
+    "q_allpairs_cosine" -> { (s, d) =>
+      // exact all-pairs cosine threshold — the oracle-able twin of
+      // q_embed_neardup (which LSH-prunes the same pair set)
+      val e = s.read.parquet(t(d, "embeddings"))
+      e.select(col("vec_id").as("a"), col("embedding").as("va"))
+        .crossJoin(e.select(col("vec_id").as("b"), col("embedding").as("vb")))
+        .filter(col("a") < col("b"))
+        .withColumn("cosine", SimSearch.cosine(col("va"), col("vb")))
+        .filter(col("cosine") >= 0.3)
+        .select("a", "b", "cosine")
+    },
+    "q_quality_stats" -> { (s, d) =>
+      // custom lang-ID + composite quality expressions, DuckDB-replicated
+      // from scratch in the oracle (corpus is ASCII, so the SQL char classes
+      // are exact twins of the Java ones)
+      s.read.parquet(t(d, "documents")).select(
+        col("doc_id"),
+        lang_id(col("text")).as("lang_guess"),
+        quality_score(col("text")).as("quality"))
+    },
     "q_ann_lsh" -> { (s, d) =>
       val e = s.read.parquet(t(d, "embeddings"))
       SimSearch.lshTopK(e, e.filter(col("vec_id") < 20), "vec_id",
@@ -208,21 +228,22 @@ object SparkEntry {
         .run(pages, s"https://$domain", wh).visited
     },
     "q_robots_gate" -> { (s, d) =>
-      import s.implicits._
-      val robots = "User-agent: *\nDisallow: /private/\nAllow: /private/ok\nDisallow: /tmp\n"
-      val pages = SiteGen.pages(s, "example.com", 64, hosts = 4,
-        outDegree = 4, numPartitions = 4, robotsBody = Some(robots))
-      val engine = new CrawlEngine(s, CrawlConfig("example.com", numPartitions = 4))
-      val rules = engine.robotsTable(pages)
-      Seq("https://example.com/private/a", "https://example.com/private/ok1",
-        "https://example.com/pub", "https://h1.example.com/tmpx",
-        "https://nohost.example.com/free")
-        .toDF("url")
-        .withColumn("host", host_key(col("url")))
-        .join(broadcast(rules), Seq("host"), "left")
+      // RFC 9309 longest-prefix gate over sfDir-derived URLs; the DuckDB twin
+      // hand-compiles the longest-prefix decision for this rule set
+      val prefixes = typedLit(Seq("/private/", "/private/ok", "/tmp"))
+      val allows = typedLit(Seq(false, true, false))
+      val path = when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("/private/a"), col("doc_id")))
+        .when(pmod(col("doc_id"), lit(5)) === 1,
+          concat(lit("/private/ok"), col("doc_id")))
+        .when(pmod(col("doc_id"), lit(5)) === 2, concat(lit("/pub/"), col("doc_id")))
+        .when(pmod(col("doc_id"), lit(5)) === 3, concat(lit("/tmp"), col("doc_id")))
+        .otherwise(lit("/"))
+      s.read.parquet(t(d, "documents"))
+        .select(col("doc_id"), concat(lit("https://example.com"), path).as("url"))
         .withColumn("allowed",
-          coalesce(robots_allowed(col("url"), col("prefixes"), col("allows")), lit(true)))
-        .select("url", "host", "allowed")
+          robots_allowed(col("url"), prefixes, allows).cast("int"))
+        .select("doc_id", "url", "allowed")
     })
 
   /** DuckDB twins. Integer-exact only; every column aliased identically. */
@@ -276,5 +297,74 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
          CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
          CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
-         FROM documents""")
+         FROM documents""",
+    // cosine twins: CAST(... AS DOUBLE[]) makes DuckDB accumulate in double,
+    // bit-identical to the engine's sequential double fold (verified)
+    "q_ann_brute" ->
+      """SELECT query_id, neighbor_id, cosine, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cosine,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id) AS INTEGER) AS rank
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         WHERE rank <= 5""",
+    "q_allpairs_cosine" ->
+      """SELECT e1.vec_id AS a, e2.vec_id AS b,
+         list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) AS cosine
+         FROM embeddings e1, embeddings e2
+         WHERE e1.vec_id < e2.vec_id
+         AND list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) >= 0.3""",
+    "q_robots_gate" ->
+      """SELECT doc_id,
+         'https://example.com' || path AS url,
+         CASE WHEN path LIKE '/private/ok%' THEN 1
+              WHEN path LIKE '/private/%' THEN 0
+              WHEN path LIKE '/tmp%' THEN 0
+              ELSE 1 END AS allowed
+         FROM (SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN '/private/a' || doc_id
+             WHEN 1 THEN '/private/ok' || doc_id
+             WHEN 2 THEN '/pub/' || doc_id
+             WHEN 3 THEN '/tmp' || doc_id
+             ELSE '/' END AS path
+           FROM documents)""",
+    "q_quality_stats" ->
+      """WITH s AS (
+           SELECT doc_id, text, length(text) AS nch,
+             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM documents
+         ), c AS (
+           SELECT doc_id, nch, len(toks) AS ntok,
+             CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS toklen,
+             nch - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS punct,
+             nch - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+             len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','it','that','for','on','with','as','this','was','are','be','at','by','not'))) AS hit_en,
+             len(list_filter(toks, t -> t IN ('le','la','les','de','des','du','et','en','un','une','est','que','qui','dans','pour','sur','avec','pas','au','ce'))) AS hit_fr,
+             len(list_filter(toks, t -> t IN ('der','die','das','und','ist','in','den','von','zu','mit','sich','des','auf','für','im','dem','nicht','ein','eine','als'))) AS hit_de,
+             len(list_filter(toks, t -> t IN ('el','la','los','las','de','y','en','un','una','es','que','del','se','por','con','para','su','al','lo','como'))) AS hit_es
+           FROM s
+         ), m AS (
+           SELECT *, toklen * 1000 // greatest(ntok, 1) AS meanlen,
+             punct * 1000 // greatest(nch, 1) AS punctx,
+             digits * 1000 // greatest(nch, 1) AS digitx,
+             hit_en * 1000 // greatest(ntok, 1) AS swx,
+             greatest(hit_de, hit_en, hit_es, hit_fr) AS hmax
+           FROM c
+         )
+         SELECT doc_id,
+           CASE WHEN ntok = 0 OR hmax = 0 THEN 'und'
+                WHEN hit_de = hmax THEN 'de'
+                WHEN hit_en = hmax THEN 'en'
+                WHEN hit_es = hmax THEN 'es'
+                ELSE 'fr' END AS lang_guess,
+           CAST(greatest(0, least(1000,
+             500 + (CASE WHEN nch BETWEEN 100 AND 20000 THEN 150 ELSE 0 END)
+                 + (CASE WHEN ntok >= 20 THEN 100 ELSE 0 END)
+                 + (CASE WHEN meanlen BETWEEN 3000 AND 9000 THEN 100 ELSE 0 END)
+                 + least(swx, 150) - least(punctx, 200) - least(digitx, 200)))
+             AS BIGINT) AS quality
+         FROM m""")
 }
