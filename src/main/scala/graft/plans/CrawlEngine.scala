@@ -47,6 +47,7 @@ final case class CrawlConfig(
     bloomBroadcastMaxBytes: Long = 256L << 20,
     broadcastFetchMax: Long = 100000L,
     robotsBroadcastMax: Long = 100000L,
+    depthPriority: Boolean = false,
     maxEpochs: Int = Int.MaxValue)
 
 final case class CrawlResult(
@@ -354,11 +355,18 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         } else snapshot.tables("suppressed").copy(deltaRows = 0L)
       lap("suppressed_write")
 
-      // 6. next frontier = (allowed ∪ deferred) − visited(≤e) − suppressed(≤e)
+      // 6. next frontier = (allowed ∪ deferred) − visited(≤e) − suppressed(≤e).
+      // O-9 priority: discovery depth when depthPriority (deferred older URLs
+      // outrank newly discovered ones in the (priority, url) schedule);
+      // constant 0 in trace-match mode (reference FIFO ⇒ exact). A URL both
+      // deferred and rediscovered keeps its MINIMUM priority — groupBy-min
+      // rather than dropDuplicates, whose surviving row is nondeterministic.
+      val newPriority = if (config.depthPriority) (epoch + 1).toLong else 0L
       val candidates = gated.filter(col("allowed"))
-        .select(col("url"), col("host"), lit(0L).as("priority"))
+        .select(col("url"), col("host"), lit(newPriority).as("priority"))
         .union(defer)
-        .dropDuplicates("url")
+        .groupBy(col("url"), col("host"))
+        .agg(min(col("priority")).as("priority"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // BASELINE.json metric numerator: URLs scheduled + entering dedup
       val candidatesIn = candidates.count()

@@ -58,6 +58,7 @@ object CrawlJob {
       .getOrElse(Seq(s"https://$domain"))
     val engine = new CrawlEngine(spark,
       CrawlConfig(domain, budget = budget, numPartitions = partitions,
+        depthPriority = a.get("depth-priority").exists(_.toBoolean),
         maxEpochs = maxEpochs))
     val result = engine.run(pages, seeds, warehouse)
     val links = result.lastSnapshot.tables("links").totalRows

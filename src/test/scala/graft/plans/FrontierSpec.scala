@@ -36,21 +36,23 @@ class FrontierSpec extends AnyFunSuite {
     rows.toDF("url", "warc_ts", "html", "text", "lang")
   }
 
-  private def config(scenario: String): (String, Option[Int], Seq[String]) = {
+  private def config(scenario: String): (String, Option[Int], Seq[String], Boolean) = {
     val json = resLines(s"/sites/$scenario/config.json").mkString
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     val budget = Option(node.get("budget")).filterNot(_.isNull).map(_.asInt())
     val seeds = Option(node.get("seeds")).map { arr =>
       (0 until arr.size()).map(arr.get(_).asText())
     }.getOrElse(Seq(s"https://${node.get("domain").asText()}"))
-    (node.get("domain").asText(), budget, seeds)
+    val depthPriority = Option(node.get("depth_priority")).exists(_.asBoolean(false))
+    (node.get("domain").asText(), budget, seeds, depthPriority)
   }
 
   private def runScenario(scenario: String): (CrawlResult, String) = {
-    val (domain, budget, seeds) = config(scenario)
+    val (domain, budget, seeds, depthPriority) = config(scenario)
     val wh = Files.createTempDirectory(s"graft-$scenario-").toString
     val engine = new CrawlEngine(spark,
-      CrawlConfig(domain = domain, budget = budget, numPartitions = 4))
+      CrawlConfig(domain = domain, budget = budget, numPartitions = 4,
+        depthPriority = depthPriority))
     val result = engine.run(loadPages(scenario), seeds, wh)
     (result, wh)
   }
@@ -124,8 +126,24 @@ class FrontierSpec extends AnyFunSuite {
     checkScenario("multiseed")
   }
 
+  test("priority: depth-priority schedule fetches deferred URLs before lex-smaller new ones") {
+    checkScenario("priority")
+    // the non-degenerate check: with depth priority OFF, the same site gives
+    // a DIFFERENT epoch assignment (lex-first), proving the priority column
+    // actually drives the schedule
+    val (domain, budget, seeds, _) = config("priority")
+    val wh = Files.createTempDirectory("graft-priority-off-").toString
+    val flat = new CrawlEngine(spark,
+      CrawlConfig(domain, budget, numPartitions = 4, depthPriority = false))
+      .run(loadPages("priority"), seeds, wh)
+    val flatTrace = flat.trace.select("epoch", "url").as[(Int, String)].collect().toSeq
+    val goldenTrace = resLines("/sites/priority/trace.txt")
+    assert(flatTrace.map(_._2) != goldenTrace,
+      "scenario does not differentiate priority from lex order")
+  }
+
   test("resume: interrupted run continues to identical final state") {
-    val (domain, budget, _) = config("basic")
+    val (domain, budget, _, _) = config("basic")
     val pages = loadPages("basic")
     val whFull = Files.createTempDirectory("graft-full-").toString
     val whPart = Files.createTempDirectory("graft-part-").toString
@@ -143,7 +161,7 @@ class FrontierSpec extends AnyFunSuite {
   }
 
   test("crash: torn manifest and uncommitted data dirs are invisible on resume") {
-    val (domain, budget, _) = config("basic")
+    val (domain, budget, _, _) = config("basic")
     val pages = loadPages("basic")
     val wh = Files.createTempDirectory("graft-crash-").toString
     new CrawlEngine(spark, CrawlConfig(domain, budget, numPartitions = 4, maxEpochs = 3))

@@ -124,7 +124,14 @@ def robots_allowed(url, rules):
 
 
 # ---- canonical-serialization crawl ------------------------------------------
-def crawl(pages, domain, budget=None, seeds=None):
+def crawl(pages, domain, budget=None, seeds=None, depth_priority=False):
+    """Frontier rows are (priority, url), scheduled in (priority, url) order.
+    priority = 0 everywhere in trace-match mode (the reference's FIFO makes
+    constant priority exact); with depth_priority, priority = discovery
+    depth, so budget-deferred older URLs outrank newly discovered ones.
+    A URL reachable at several depths keeps the MINIMUM. The visit trace is
+    serialized per §A.1 as (epoch, url) regardless of scheduling priority.
+    """
     seeds = seeds or [f"https://{domain}"]
     robots_rules = {}  # host → rules
     for url, body in pages.items():
@@ -139,32 +146,34 @@ def crawl(pages, domain, budget=None, seeds=None):
     visited_set = set()
     suppressed = set()  # robots-blocked, never rescheduled
     all_links = set()
-    frontier = []
+    frontier = []  # sorted list of (priority, url)
     for seed in sorted(set(seeds)):
         if allowed(seed):
-            frontier.append(seed)
+            frontier.append((0, seed))
         else:
             suppressed.add(seed)
     epochs = []
+    epoch_idx = 0
     while frontier:
-        epochs.append(list(frontier))
+        epochs.append([u for _, u in frontier])
         if budget is not None:
             taken = {}
             fetch_now, defer = [], []
-            for url in frontier:  # frontier already sorted
-                h = host_key(url)
+            for pu in frontier:  # frontier already (priority, url)-sorted
+                h = host_key(pu[1])
                 if taken.get(h, 0) < budget:
                     taken[h] = taken.get(h, 0) + 1
-                    fetch_now.append(url)
+                    fetch_now.append(pu)
                 else:
-                    defer.append(url)
+                    defer.append(pu)
         else:
             fetch_now, defer = frontier, []
-        next_level = set()
-        for url in fetch_now:
+        next_level = {}  # url → discovery priority
+        epoch_visited = []
+        for _, url in fetch_now:
             if url in visited_set:
                 continue
-            visited.append(url)
+            epoch_visited.append(url)
             visited_set.add(url)
             body = pages.get(url)
             links = extract_clean_links(url, body) if body is not None else set()
@@ -172,10 +181,18 @@ def crawl(pages, domain, budget=None, seeds=None):
                 all_links.add(link)
                 if is_valid(link, domain) and link not in visited_set:
                     if allowed(link):
-                        next_level.add(link)
+                        next_level[link] = (epoch_idx + 1) if depth_priority else 0
                     else:
                         suppressed.add(link)
-        frontier = sorted((set(defer) | next_level) - visited_set - suppressed)
+        visited.extend(sorted(epoch_visited))  # §A.1 (epoch, url) trace order
+        merged = {}
+        for p, u in defer:
+            merged[u] = min(merged.get(u, p), p)
+        for u, p in next_level.items():
+            merged[u] = min(merged.get(u, p), p)
+        frontier = sorted((p, u) for u, p in merged.items()
+                          if u not in visited_set and u not in suppressed)
+        epoch_idx += 1
     return visited, sorted(all_links), epochs
 
 
@@ -322,6 +339,21 @@ def site_combo():
     return d, pages, 1
 
 
+def site_priority():
+    """budget=1 + depth priority: /z2 (depth 1, deferred) must be fetched
+    BEFORE the lexicographically smaller /a2 (depth 2) — differentiates real
+    priority-queue scheduling from the constant-priority lex degenerate."""
+    d = "example.com"
+    pages = {
+        f"https://{d}": page(["/z1", "/z2"]),
+        f"https://{d}/z1": page(["/a2", "/z3"]),
+        f"https://{d}/z2": page(["/a2"]),  # a2 reachable at depths 2 and 3 → keeps 2
+        f"https://{d}/a2": page([]),
+        f"https://{d}/z3": page([]),
+    }
+    return d, pages, 1, [f"https://{d}"], True
+
+
 def main():
     scenarios = {
         "basic": site_basic,
@@ -330,15 +362,20 @@ def main():
         "robots": site_robots,
         "combo": site_combo,
         "multiseed": site_multiseed,
+        "priority": site_priority,
     }
     for name, builder in scenarios.items():
         out_tuple = builder()
-        if len(out_tuple) == 4:
+        depth_priority = False
+        if len(out_tuple) == 5:
+            domain, pages, budget, seeds, depth_priority = out_tuple
+        elif len(out_tuple) == 4:
             domain, pages, budget, seeds = out_tuple
         else:
             domain, pages, budget = out_tuple
             seeds = [f"https://{domain}"]
-        visited, links, epochs = crawl(pages, domain, budget, seeds)
+        visited, links, epochs = crawl(pages, domain, budget, seeds,
+                                       depth_priority)
         sdir = os.path.join(OUT, name)
         os.makedirs(sdir, exist_ok=True)
         with open(os.path.join(sdir, "pages.tsv"), "w") as f:
@@ -347,7 +384,8 @@ def main():
                         base64.b64encode(pages[url]).decode("ascii") + "\n")
         with open(os.path.join(sdir, "config.json"), "w") as f:
             json.dump({"domain": domain, "budget": budget,
-                       "seed_url": f"https://{domain}", "seeds": seeds}, f)
+                       "seed_url": f"https://{domain}", "seeds": seeds,
+                       "depth_priority": depth_priority}, f)
         with open(os.path.join(sdir, "trace.txt"), "w", encoding="utf-8") as f:
             for u in visited:
                 f.write(u + "\n")
