@@ -5,13 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (builder-prompt mandate): image/audio/video
-  * travel as opaque `binary` columns with a typed metadata struct. The
-  * Spark-side plumbing — schema, partition-parallel batch processing via
-  * mapPartitions over typed Datasets (the JVM analog of mapInPandas batch
-  * shape), deterministic output schema — is real and tested; the *codec*
-  * step is a clearly-marked DETERMINISTIC STUB because no image/audio
-  * libraries exist in this container. Swap [[StubCodec]] for a real decoder
-  * (e.g. javacv / a JNI codec) without touching the pipeline.
+  * travel as opaque `binary` columns with a typed metadata struct, processed
+  * partition-parallel via mapPartitions over typed Datasets (the JVM analog
+  * of the mapInPandas batch shape). The codec layer is REAL, JDK-only
+  * ([[JdkCodec]]): PNG via `javax.imageio`, WAV PCM via
+  * `javax.sound.sampled`, multi-frame PNG containers for video; decode →
+  * box-resize → frame-sample → luma/amplitude feature pooling all operate
+  * on actual pixels/samples. [[StubCodec]] remains only as the fallback for
+  * codecs absent in this sandbox (jpeg/h264/...), clearly marked.
   */
 object MediaOps {
 
@@ -44,12 +45,14 @@ object MediaOps {
       StructField("durationMs", LongType, nullable = false),
       StructField("codec", StringType, nullable = false))), nullable = false)))
 
-  /** ======================== STUB CODEC ========================
-    * Deterministic fake decode: "pixels" are a splitmix64 stream seeded by
-    * the blob's FNV hash; resize/pool/frame-sample operate on that stream.
-    * A real build replaces exactly this object.
+  /** ================ STUB CODEC (fallback only) ================
+    * Deterministic fake decode for codecs with no decoder in this sandbox:
+    * "pixels" are a splitmix64 stream seeded by the blob's FNV hash. The
+    * primary path is [[JdkCodec]] (real decode); this object is reached only
+    * for unrecognized codec tags.
     */
   object StubCodec {
+    def mixPublic(z: Long): Long = mix64(z)
     @inline private def mix64(z0: Long): Long = {
       var z = z0 + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -86,8 +89,13 @@ object MediaOps {
     }
   }
 
-  /** Synthesize an opaque media table from any binary-able column —
-    * deterministic stand-in for real crawled media.
+  @inline private def mixPix(id: Long, k: Long): Long =
+    StubCodec.mixPublic(id * 0xd1342543de82ef95L + k)
+
+  /** Synthesize a media table with REAL encoded bytes — deterministic PNG
+    * images (pseudo-random RGB per pixel), 16-bit PCM WAV sine tones, and
+    * GFTV multi-frame PNG containers — a stand-in corpus with the exact
+    * byte formats the codecs decode.
     */
   def synthesize(docs: DataFrame, idCol: String, payloadCol: String): Dataset[MediaRow] = {
     val spark = docs.sparkSession
@@ -95,21 +103,40 @@ object MediaOps {
     docs.select(col(idCol).cast("long").as("doc_id"),
       col(payloadCol).cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
-      .map { case (id, payload) =>
+      .map { case (id, _) =>
         val mt = (id % 3) match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
-        MediaRow(id, payload, MediaMeta(mt,
-          width = 64 + (id % 8).toInt * 32,
-          height = 64 + (id % 5).toInt * 32,
-          durationMs = if (mt == "image") 0L else 1000L + (id % 30) * 500L,
-          codec = if (mt == "image") "stub-png" else if (mt == "audio") "stub-pcm" else "stub-h264"))
+        val w = 64 + (id % 8).toInt * 32
+        val h = 64 + (id % 5).toInt * 32
+        val durationMs = if (mt == "image") 0L else 1000L + (id % 30) * 500L
+        val bytes = mt match {
+          case "image" =>
+            JdkCodec.encodePng(w, h,
+              (x, y) => (mixPix(id, y.toLong * w + x) & 0xffffff).toInt)
+          case "audio" =>
+            val sr = 8000f
+            val n = (durationMs * sr / 1000).toInt
+            val freq = 200.0 + (id % 200)
+            JdkCodec.encodeWav(Array.tabulate(n)(i =>
+              (StrictMath.sin(2 * StrictMath.PI * freq * i / sr) * 16384).toShort), sr)
+          case _ =>
+            val nFrames = math.max(1, math.min(16, (durationMs / 1000).toInt))
+            JdkCodec.encodeVideo((0 until nFrames).map(f =>
+              JdkCodec.encodePng(48, 32,
+                (x, y) => (mixPix(id, (f.toLong << 32) | (y * 48L + x)) & 0xffffff).toInt)))
+        }
+        val codec = mt match {
+          case "image" => "png"; case "audio" => "wav"; case _ => "gftv"
+        }
+        MediaRow(id, bytes, MediaMeta(mt, w, h, durationMs, codec))
       }
   }
 
   /** decode → resize(targetW×targetH) → frame-sample → feature-extract →
     * mean-pool, batched per partition (constant-memory batch shape; the
-    * mapInPandas analog). Null media → null-safe skip.
+    * mapInPandas analog). Null media → null-safe skip; unrecognized codec →
+    * StubCodec fallback.
     */
   def extractFeatures(media: Dataset[MediaRow], targetW: Int = 224,
       targetH: Int = 224, dim: Int = 64, fps: Double = 1.0,
@@ -119,19 +146,40 @@ object MediaOps {
     media.mapPartitions { it =>
       it.flatMap { row =>
         if (row.media == null) Iterator.empty
-        else {
-          val frames: Array[Int] = row.meta.mediaType match {
-            case "video" => StubCodec.sampleFrames(row.meta.durationMs, fps, maxFrames)
-            case _       => Array(0)
-          }
-          val pooled = new Array[Float](dim)
-          frames.foreach { f =>
-            val feat = StubCodec.decodeAndPool(row.media, targetW, targetH, dim, f)
-            var d = 0
-            while (d < dim) { pooled(d) += feat(d) / frames.length; d += 1 }
-          }
-          Iterator.single(MediaFeatures(row.doc_id, row.meta.mediaType, dim,
-            pooled, frames.length, targetW, targetH))
+        else row.meta.codec match {
+          case "png" | "bmp" =>
+            val px = JdkCodec.resizeLuma(JdkCodec.decodeImage(row.media), targetW, targetH)
+            Iterator.single(MediaFeatures(row.doc_id, row.meta.mediaType, dim,
+              JdkCodec.poolFeatures(px, dim), 1, targetW, targetH))
+          case "wav" =>
+            Iterator.single(MediaFeatures(row.doc_id, row.meta.mediaType, dim,
+              JdkCodec.audioFeatures(JdkCodec.decodeWavSamples(row.media), dim),
+              1, targetW, targetH))
+          case "gftv" =>
+            val all = JdkCodec.decodeVideoFrames(row.media)
+            val idx = JdkCodec.sampleFrameIndexes(all.length, maxFrames)
+            val pooled = new Array[Float](dim)
+            idx.foreach { f =>
+              val feat = JdkCodec.poolFeatures(
+                JdkCodec.resizeLuma(JdkCodec.decodeImage(all(f)), targetW, targetH), dim)
+              var d = 0
+              while (d < dim) { pooled(d) += feat(d) / idx.length; d += 1 }
+            }
+            Iterator.single(MediaFeatures(row.doc_id, row.meta.mediaType, dim,
+              pooled, idx.length, targetW, targetH))
+          case _ => // no decoder in sandbox → deterministic stub fallback
+            val frames: Array[Int] = row.meta.mediaType match {
+              case "video" => StubCodec.sampleFrames(row.meta.durationMs, fps, maxFrames)
+              case _       => Array(0)
+            }
+            val pooled = new Array[Float](dim)
+            frames.foreach { f =>
+              val feat = StubCodec.decodeAndPool(row.media, targetW, targetH, dim, f)
+              var d = 0
+              while (d < dim) { pooled(d) += feat(d) / frames.length; d += 1 }
+            }
+            Iterator.single(MediaFeatures(row.doc_id, row.meta.mediaType, dim,
+              pooled, frames.length, targetW, targetH))
         }
       }
     }

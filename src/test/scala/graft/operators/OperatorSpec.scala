@@ -148,6 +148,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(TextOps.qualityScore("") <= 600)
   }
 
+  test("jdk codecs: known pixel/sample statistics survive decode+resize+pool") {
+    import graft.multimodal.JdkCodec
+    // solid mid-gray PNG → every pooled luma feature = 128/255
+    val gray = JdkCodec.encodePng(60, 40, (_, _) => 0x808080)
+    val lum = JdkCodec.poolFeatures(
+      JdkCodec.resizeLuma(JdkCodec.decodeImage(gray), 16, 16), 8)
+    lum.foreach(v => assert(math.abs(v - 128f / 255f) < 1e-3, v.toString))
+    // half-black/half-white vertical split → global mean ≈ 0.5 of white luma
+    val split = JdkCodec.encodePng(64, 64, (x, _) => if (x < 32) 0x000000 else 0xffffff)
+    val lum2 = JdkCodec.poolFeatures(
+      JdkCodec.resizeLuma(JdkCodec.decodeImage(split), 16, 16), 1)
+    assert(math.abs(lum2(0) - 0.5f) < 1e-2, lum2(0).toString)
+    // constant-amplitude square wave WAV → mean |amp| = 0.25 exactly
+    val samples = Array.tabulate(8000)(i => if (i % 2 == 0) (8192: Short) else (-8192: Short))
+    val wav = JdkCodec.encodeWav(samples, 8000f)
+    val af = JdkCodec.audioFeatures(JdkCodec.decodeWavSamples(wav), 4)
+    af.foreach(v => assert(math.abs(v - 0.25f) < 1e-6, v.toString))
+    // video container round-trip preserves frames
+    val frames = (0 until 5).map(f => JdkCodec.encodePng(8, 8, (_, _) => f * 0x111111))
+    val back = JdkCodec.decodeVideoFrames(JdkCodec.encodeVideo(frames))
+    assert(back.length == 5)
+    assert(back.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+  }
+
   test("media pipeline is deterministic with correct shapes") {
     val m = graft.multimodal.MediaOps.synthesize(docs, "doc_id", "text")
     val f1 = graft.multimodal.MediaOps.extractFeatures(m, dim = 16).collect().sortBy(_.doc_id)
