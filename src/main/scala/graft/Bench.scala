@@ -95,6 +95,26 @@ object Bench {
     (sec, scheduled)
   }
 
+  /** Single-thread fixed-work CPU probe (page extraction, µs/page). The VM
+    * shows 2-7× CPU steal at times (BASELINE.md); this calibrates whether a
+    * given run was taken on a noisy box. ~85 µs/page is the idle-box
+    * reference (MicroBench, BASELINE.md measured section).
+    */
+  def stealProbe(): Double = {
+    val n = 2000
+    val htmls = (0 until n).map(i =>
+      SiteGen.buildHtml("example.com", 32, 1000000L, 12, 42L, i.toLong)
+        .getBytes("UTF-8")).toArray
+    (0 until 1000).foreach(i => graft.html.HtmlExtract.extract(htmls(i % n)))
+    val t0 = System.nanoTime()
+    var acc = 0L
+    htmls.foreach(h => acc += graft.html.HtmlExtract.extract(h)._1.size)
+    require(acc > 0)
+    (System.nanoTime() - t0) / 1e3 / n
+  }
+
+  private val IDLE_PROBE_US = 85.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -108,7 +128,15 @@ object Bench {
 
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
     val nPages = math.max(2000L, math.min(2000000L, (sf * 2000000L).toLong))
-    val (crawlSec, scheduled, visited) = crawlKernel(spark, nPages, cpus.toInt)
+    // steal-robust headline: calibration probe + best-of-2 kernel runs in
+    // this JVM, so a one-shot driver artifact taken under CPU steal is
+    // interpretable (VERDICT r1: a 7× steal distortion was recorded as if it
+    // were the engine)
+    val probeBefore = stealProbe()
+    val runs = Seq.fill(2)(crawlKernel(spark, nPages, cpus.toInt))
+    val probeAfter = stealProbe()
+    val (crawlSec, scheduled, visited) = runs.minBy(_._1)
+    val stealFactor = math.min(probeBefore, probeAfter) / IDLE_PROBE_US
     val urlsPerSec = scheduled / math.max(crawlSec, 1e-9)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -118,9 +146,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = crawlSec + results.map(_._2).sum
+    val total = runs.map(_._1).sum + results.map(_._2).sum
+    val runsJson = runs.map(r => f"${r._1}%.2f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"frontier_urls_per_sec","value":$urlsPerSec%.1f,"unit":"urls/sec","total_sec":$total%.2f,"crawl_sec":$crawlSec%.2f,"crawl_pages":$nPages,"crawl_scheduled":$scheduled,"crawl_visited":$visited,"queries":$qs,"sf":"$sfDir","cpus":$cpus}""")
+      f"""{"metric":"frontier_urls_per_sec","value":$urlsPerSec%.1f,"unit":"urls/sec","total_sec":$total%.2f,"crawl_sec":$crawlSec%.2f,"crawl_runs":$runsJson,"steal_factor":$stealFactor%.2f,"probe_us":[$probeBefore%.1f,$probeAfter%.1f],"crawl_pages":$nPages,"crawl_scheduled":$scheduled,"crawl_visited":$visited,"queries":$qs,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }

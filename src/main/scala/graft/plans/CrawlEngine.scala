@@ -71,6 +71,37 @@ final case class CrawlResult(
     */
   def saveTrace(path: String): Unit =
     trace.select("url").coalesce(1).write.mode("overwrite").text(path)
+
+  /** Sharded links sink for web scale — the parity sink's single write task
+    * cannot finish at 10^10 links. Range-partitioned on url and sorted
+    * within each shard, so concatenating the part files in name order
+    * reproduces the parity sink's bytes exactly (the documented
+    * concatenation contract).
+    */
+  def saveLinksSharded(path: String, shards: Int): Unit =
+    links.repartitionByRange(shards, col("url")).sortWithinPartitions("url")
+      .write.mode("overwrite").text(path)
+}
+
+object CrawlEngine {
+  /** Python-str `<` = Unicode code-point order (crawler.py:94's sort). Spark
+    * string sorts are already code-point order (UTF8_BINARY = UTF-8 byte
+    * order — verified incl. astral plane), but Java's String ordering is
+    * UTF-16 code-unit order, which differs above U+FFFF — so every
+    * driver-side sort must use this ordering instead of `Ordering.String`.
+    */
+  def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(i)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+    }
+    Integer.compare(a.length - i, b.length - i)
+  }
+  val codePointOrdering: Ordering[String] =
+    (a: String, b: String) => codePointCompare(a, b)
 }
 
 /** Distributed level-synchronous BFS crawl over a pages table — the Spark
@@ -202,7 +233,7 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       graft.robots.Robots.allowed(u,
         collectedRules.getOrElse(graft.robots.Robots.hostKey(u), Nil))
     val (allowedSeeds, blockedSeeds) =
-      seedUrls.distinct.sorted.partition(seedAllowed)
+      seedUrls.distinct.sorted(CrawlEngine.codePointOrdering).partition(seedAllowed)
 
     var snapshot: Snapshot = null
     var frontier: DataFrame = null
@@ -368,9 +399,6 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         .groupBy(col("url"), col("host"))
         .agg(min(col("priority")).as("priority"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // BASELINE.json metric numerator: URLs scheduled + entering dedup
-      val candidatesIn = candidates.count()
-      lap("candidates_count")
       val visitedAll = visitedSoFar.select("url")
         .union(fetchNow.select("url"))
       val seenCountNow = visitedRows + frontierCount // upper bound estimate
@@ -404,6 +432,13 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       // write above — release it so long crawls don't accumulate broadcast
       // state on the driver/executors
       if (bloomBcast != null) bloomBcast.destroy()
+      // BASELINE.json metric numerator (URLs scheduled + entering dedup),
+      // counted AFTER the frontier write so the job is a scan of the
+      // already-materialized cache, not a second upstream computation.
+      // (An observe() on the candidates plan does not surface through the
+      // cache boundary — InMemoryRelation swallows the CollectMetrics node.)
+      val candidatesIn = candidates.count()
+      lap("candidates_count")
 
       val wallMs = (System.nanoTime() - t0) / 1000000L
       snapshot = store.commit(epoch, Map(

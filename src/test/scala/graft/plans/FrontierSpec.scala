@@ -62,11 +62,12 @@ class FrontierSpec extends AnyFunSuite {
     // trace: exact sequence under the §A.1 canonical serialization
     val gotTrace = result.trace.select("url").as[String].collect().toSeq
     assert(gotTrace == resLines(s"/sites/$scenario/trace.txt"), s"$scenario trace")
-    // visited set (sorted)
-    val gotVisited = result.visited.select("url").as[String].collect().sorted.toSeq
+    // visited set, code-point-sorted (Spark string sort = code-point order;
+    // Scala .sorted would be UTF-16 code-unit order, wrong above U+FFFF)
+    val gotVisited = result.visited.select("url").orderBy("url").as[String].collect().toSeq
     assert(gotVisited == resLines(s"/sites/$scenario/visited.txt"), s"$scenario visited")
     // links.txt bit-exact save format (crawler.py:93-97)
-    val gotLinks = result.links.select("url").as[String].collect().sorted
+    val gotLinks = result.links.select("url").orderBy("url").as[String].collect()
     val expected = resLines(s"/sites/$scenario/links.txt")
     assert(gotLinks.toSeq == expected, s"$scenario links")
     val fileBytes = gotLinks.map(_ + "\n").mkString.getBytes(UTF_8)
@@ -78,10 +79,10 @@ class FrontierSpec extends AnyFunSuite {
     // per-epoch frontiers
     val expectedEpochs = resLines(s"/sites/$scenario/frontier_epochs.txt")
       .map { l => val Array(e, u) = l.split("\t", 2); (e.toInt, u) }
-      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     for ((e, urls) <- expectedEpochs) {
       val got = spark.read.parquet(s"$wh/frontier/epoch=$e")
-        .select("url").as[String].collect().sorted.toSeq
+        .select("url").as[String].collect().toSet
       assert(got == urls, s"$scenario frontier epoch $e")
     }
     assert(result.epochs == expectedEpochs.size, s"$scenario epoch count")
@@ -140,6 +141,26 @@ class FrontierSpec extends AnyFunSuite {
     val goldenTrace = resLines("/sites/priority/trace.txt")
     assert(flatTrace.map(_._2) != goldenTrace,
       "scenario does not differentiate priority from lex order")
+  }
+
+  test("astral: non-BMP URLs schedule, trace, and sort in code-point order") {
+    checkScenario("astral")
+  }
+
+  test("saveLinksSharded: part files concatenate to the parity links.txt bytes") {
+    val (result, _) = runScenario("basic")
+    val out = Files.createTempDirectory("graft-sharded-").toString + "/links"
+    result.saveLinksSharded(out, shards = 3)
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+      .sortBy(_.getName)
+    assert(parts.length > 1, "expected multiple shards")
+    val got = parts.flatMap(f => Files.readAllBytes(f.toPath))
+    val golden = {
+      val in = getClass.getResourceAsStream("/sites/basic/links.txt")
+      try in.readAllBytes() finally in.close()
+    }
+    assert(java.util.Arrays.equals(got, golden))
   }
 
   test("resume: interrupted run continues to identical final state") {

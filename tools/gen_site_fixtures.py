@@ -354,6 +354,26 @@ def site_priority():
     return d, pages, 1, [f"https://{d}"], True
 
 
+def site_astral():
+    """Astral-plane (non-BMP) URLs under budget=1: code-point order puts
+    /pz < /p￿ < /p\U0001f600 — UTF-16 code-unit order would schedule the
+    emoji URL before U+FFFF. Exercises crawler.py:94's code-point sort
+    through scheduling, trace, and links.txt."""
+    d = "example.com"
+    emo = "\U0001F600"
+    ff = "￿"
+    pages = {
+        f"https://{d}": page([f"/p{emo}", f"/p{ff}", "/pz", f"/q{emo}x"]),
+        f"https://{d}/p{emo}": page(["/deep"]),
+        f"https://{d}/p{ff}": page([]),
+        f"https://{d}/pz": page([f"/r{emo}{ff}"]),
+        f"https://{d}/q{emo}x": page([]),
+        f"https://{d}/deep": page([]),
+        f"https://{d}/r{emo}{ff}": page([]),
+    }
+    return d, pages, 1
+
+
 def main():
     scenarios = {
         "basic": site_basic,
@@ -363,6 +383,7 @@ def main():
         "combo": site_combo,
         "multiseed": site_multiseed,
         "priority": site_priority,
+        "astral": site_astral,
     }
     for name, builder in scenarios.items():
         out_tuple = builder()
