@@ -158,12 +158,17 @@ object SparkEntry {
     },
     "q_allpairs_cosine" -> { (s, d) =>
       // exact all-pairs cosine threshold — the oracle-able twin of
-      // q_embed_neardup (which LSH-prunes the same pair set)
+      // q_embed_neardup (which LSH-prunes the same pair set). Norms are
+      // precomputed per vector (|V| of them), not per pair (|V|²/2).
       val e = s.read.parquet(t(d, "embeddings"))
-      e.select(col("vec_id").as("a"), col("embedding").as("va"))
-        .crossJoin(e.select(col("vec_id").as("b"), col("embedding").as("vb")))
+      val l = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+        .withColumn("na", graft.operators.vecfns.vec_norm(col("va")))
+      val r = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+        .withColumn("nb", graft.operators.vecfns.vec_norm(col("vb")))
+      l.crossJoin(r)
         .filter(col("a") < col("b"))
-        .withColumn("cosine", SimSearch.cosine(col("va"), col("vb")))
+        .withColumn("cosine",
+          SimSearch.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
         .filter(col("cosine") >= 0.3)
         .select("a", "b", "cosine")
     },
@@ -189,7 +194,8 @@ object SparkEntry {
     "q_media_features" -> { (s, d) =>
       val docs = s.read.parquet(t(d, "documents"))
       MediaOps.extractFeatures(
-        MediaOps.synthesize(docs, "doc_id", "text"), dim = 16)
+        MediaOps.synthesize(docs, "doc_id", "text"),
+        targetW = 64, targetH = 64, dim = 16)
         .toDF()
         .select(col("doc_id"), col("mediaType"), col("frames"),
           col("featureDim"), col("outWidth"), col("outHeight"))

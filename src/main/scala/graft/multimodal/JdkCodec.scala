@@ -40,6 +40,8 @@ object JdkCodec {
   def resizeLuma(img: BufferedImage, tw: Int, th: Int): Array[Float] = {
     val sw = img.getWidth
     val sh = img.getHeight
+    // one bulk ARGB fetch — per-pixel getRGB is ~10× slower
+    val px = img.getRGB(0, 0, sw, sh, null, 0, sw)
     val out = new Array[Float](tw * th)
     var ty = 0
     while (ty < th) {
@@ -52,9 +54,10 @@ object JdkCodec {
         var sum = 0.0
         var y = y0
         while (y < y1) {
+          val row = y * sw
           var x = x0
           while (x < x1) {
-            val p = img.getRGB(x, y)
+            val p = px(row + x)
             sum += (0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
               0.114 * (p & 0xff)) / 255.0
             x += 1

@@ -107,24 +107,26 @@ object MediaOps {
         val mt = (id % 3) match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
-        val w = 64 + (id % 8).toInt * 32
-        val h = 64 + (id % 5).toInt * 32
-        val durationMs = if (mt == "image") 0L else 1000L + (id % 30) * 500L
+        // sizes kept small: the corpus exists to exercise real decode paths,
+        // not to burn encode CPU (50k docs at sf0.1 run through this)
+        val w = 32 + (id % 8).toInt * 8
+        val h = 32 + (id % 5).toInt * 8
+        val durationMs = if (mt == "image") 0L else 500L + (id % 10) * 250L
         val bytes = mt match {
           case "image" =>
             JdkCodec.encodePng(w, h,
               (x, y) => (mixPix(id, y.toLong * w + x) & 0xffffff).toInt)
           case "audio" =>
-            val sr = 8000f
+            val sr = 4000f
             val n = (durationMs * sr / 1000).toInt
             val freq = 200.0 + (id % 200)
             JdkCodec.encodeWav(Array.tabulate(n)(i =>
               (StrictMath.sin(2 * StrictMath.PI * freq * i / sr) * 16384).toShort), sr)
           case _ =>
-            val nFrames = math.max(1, math.min(16, (durationMs / 1000).toInt))
+            val nFrames = math.max(1, math.min(6, (durationMs / 500).toInt))
             JdkCodec.encodeVideo((0 until nFrames).map(f =>
-              JdkCodec.encodePng(48, 32,
-                (x, y) => (mixPix(id, (f.toLong << 32) | (y * 48L + x)) & 0xffffff).toInt)))
+              JdkCodec.encodePng(32, 24,
+                (x, y) => (mixPix(id, (f.toLong << 32) | (y * 32L + x)) & 0xffffff).toInt)))
         }
         val codec = mt match {
           case "image" => "png"; case "audio" => "wav"; case _ => "gftv"

@@ -24,30 +24,30 @@ object SimSearch {
     h.toDouble / Long.MaxValue.toDouble
   }
 
-  /** Sign-bit bucket of `planes` random hyperplanes (codegen-friendly SQL
-    * composition — higher-order functions over the array column).
+  /** Sign-bit bucket of `planes` random hyperplanes (codegen'd expression;
+    * same planes and accumulation order as the original higher-order-function
+    * composition).
     */
-  def hyperplaneBucket(v: Column, planes: Int): Column = {
-    val bits: Seq[Column] = (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(v, transform(sequence(lit(0), size(v) - 1),
-          d => PlaneComp.comp(lit(p), d)), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  def hyperplaneBucket(v: Column, planes: Int): Column =
+    vecfns.hyperplane_bucket(v, planes)
+
+  /** Exact cosine similarity between two float-array columns (sequential
+    * double accumulation — the oracle bit-exactness contract).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val na = vecfns.vec_norm(a)
+    val nb = vecfns.vec_norm(b)
+    when(na === 0 || nb === 0, lit(0.0))
+      .otherwise(vecfns.vec_dot(a, b) / (na * nb))
   }
 
-  /** Exact cosine similarity between two float-array columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
-  }
+  /** Cosine from PREcomputed norms — for all-pairs/brute plans where norm
+    * recomputation per pair would dominate (|C|·|Q| pairs but only |C|+|Q|
+    * vectors). Bit-identical: same doubles, same dot/(na·nb).
+    */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na === 0 || nb === 0, lit(0.0))
+      .otherwise(vecfns.vec_dot(a, b) / (na * nb))
 
   /** Brute-force cosine top-k: every query row against the full corpus —
     * the exact baseline. Queries should be small (broadcast side).
@@ -56,10 +56,13 @@ object SimSearch {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", vecfns.vec_norm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", vecfns.vec_norm(col("qv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -181,29 +184,4 @@ object SimSearchIvf {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
-}
-
-/** Hyperplane component as a tiny deterministic expression, kept separate so
-  * hyperplaneBucket stays a pure Column composition.
-  */
-object PlaneComp {
-  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-  import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-  import org.apache.spark.sql.graftbridge.ColumnBridge
-  import org.apache.spark.sql.types.{DataType, DoubleType}
-
-  case class PlaneComponent(left: Expression, right: Expression) extends BinaryExpression {
-    override def dataType: DataType = DoubleType
-    override def nullIntolerant: Boolean = true
-    override protected def nullSafeEval(p: Any, d: Any): Any =
-      SimSearch.planeComponent(p.asInstanceOf[Int], d.asInstanceOf[Int])
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, (p, d) => s"graft.operators.SimSearch.planeComponent($p, $d)")
-    override protected def withNewChildrenInternal(l: Expression, r: Expression): PlaneComponent =
-      copy(left = l, right = r)
-  }
-
-  def comp(p: Column, d: Column): Column =
-    ColumnBridge.column(PlaneComponent(
-      ColumnBridge.expression(p.cast("int")), ColumnBridge.expression(d.cast("int"))))
 }
