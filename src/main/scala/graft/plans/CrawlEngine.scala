@@ -283,10 +283,15 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
     val fileProbe = config.bloomFileProbe
       .getOrElse(sketchBits / 8 > config.bloomBroadcastMaxBytes)
     val shardStore =
-      if (fileProbe)
-        new graft.sketch.BloomShardStore(s"$warehouse/sketch", config.bloomShards,
-          ((sketchBits / config.bloomShards + 63) >> 6) << 6, sketchHashes)
-      else null
+      if (fileProbe) {
+        // keep shards ~16 MiB regardless of scale (10^10 urls ⇒ ~2^10
+        // buckets of ~12 MB — BASELINE.md's accounting): a probe task loads
+        // one shard, so shard size bounds per-task memory, not total size
+        val shards = math.max(config.bloomShards,
+          ((sketchBits / 8) / (16L << 20) + 1).toInt)
+        new graft.sketch.BloomShardStore(s"$warehouse/sketch", shards,
+          ((sketchBits / shards + 63) >> 6) << 6, sketchHashes)
+      } else null
     var seenSketch: BloomSketch = null
     var sketchActive = false
     def mergeIntoSketch(urls: DataFrame): Unit =
