@@ -131,7 +131,10 @@ object MediaOps {
         val codec = mt match {
           case "image" => "png"; case "audio" => "wav"; case _ => "gftv"
         }
-        MediaRow(id, bytes, MediaMeta(mt, w, h, durationMs, codec))
+        // meta must describe the actual payload: video frames are encoded at
+        // a fixed 32×24, so stamp those dims, not the id-derived image dims
+        val (mw, mh) = if (mt == "video") (32, 24) else (w, h)
+        MediaRow(id, bytes, MediaMeta(mt, mw, mh, durationMs, codec))
       }
   }
 

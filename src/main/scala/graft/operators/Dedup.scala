@@ -13,6 +13,44 @@ import graft.textops.textfns._
   */
 object Dedup {
 
+  /** Candidate pairs from an LSH bucket table, with a hot-bucket cap — the
+    * shared scale guard for every LSH family (minhash bands, simhash chunks,
+    * hyperplane buckets). Input: one row per (bucket key(s), id). Output:
+    * distinct (a, b) with a < b.
+    *
+    * Buckets of ≤ `maxBucketSize` rows emit all pairs (exact candidate
+    * semantics). Oversized buckets — N near-identical docs would otherwise
+    * emit N²/2 pairs inside ONE task — emit only CONSECUTIVE id pairs (a
+    * sorted chain, O(N) pairs): mutual near-dups stay connected for
+    * downstream clustering while the quadratic blowup is cut. The join moves
+    * only (keys, id) — payloads (signatures, vectors) are re-joined by id by
+    * the caller, so they cross the wire once per id, never once per pair.
+    */
+  private[operators] def bucketPairs(buckets: DataFrame, keys: Seq[String],
+      maxBucketSize: Int): DataFrame = {
+    val kc = keys.map(col)
+    if (maxBucketSize == Int.MaxValue) {
+      val l = buckets.select(kc :+ col("id").as("a"): _*)
+      val r = buckets.select(kc :+ col("id").as("b"): _*)
+      l.join(r, keys).filter(col("a") < col("b"))
+        .select("a", "b").dropDuplicates("a", "b")
+    } else {
+      val w = Window.partitionBy(kc: _*)
+      val sized = buckets.withColumn("bsz", count(lit(1)).over(w))
+      val small = sized.filter(col("bsz") <= maxBucketSize)
+      val allPairs = small.select(kc :+ col("id").as("a"): _*)
+        .join(small.select(kc :+ col("id").as("b"): _*), keys)
+        .filter(col("a") < col("b")).select("a", "b")
+      val big = sized.filter(col("bsz") > maxBucketSize)
+        .withColumn("rk", row_number().over(w.orderBy("id")))
+      val chained = big.select((kc :+ col("rk")) :+ col("id").as("a"): _*)
+        .join(big.select((kc :+ (col("rk") - 1).as("rk")) :+ col("id").as("b"): _*),
+          keys :+ "rk")
+        .select("a", "b")
+      allPairs.union(chained).dropDuplicates("a", "b")
+    }
+  }
+
   /** Exact dedup: group by full-content hash, keep the lowest id.
     * Output: (doc_id, text_hash, dup_count) for kept docs.
     */
@@ -56,28 +94,7 @@ object Dedup {
         xxhash64(concat(lit("band"), b.cast("string"),
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("string")))))
         .as(Seq("band", "bucket")))
-    val pairs =
-      if (maxBucketSize == Int.MaxValue) {
-        val l = buckets.select(col("band"), col("bucket"), col("id").as("a"))
-        val r = buckets.select(col("band"), col("bucket"), col("id").as("b"))
-        l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
-          .select("a", "b").dropDuplicates("a", "b")
-      } else {
-        val sized = buckets.withColumn("bsz",
-          count(lit(1)).over(Window.partitionBy("band", "bucket")))
-        val small = sized.filter(col("bsz") <= maxBucketSize)
-        val allPairs = small.select(col("band"), col("bucket"), col("id").as("a"))
-          .join(small.select(col("band"), col("bucket"), col("id").as("b")),
-            Seq("band", "bucket"))
-          .filter(col("a") < col("b")).select("a", "b")
-        val big = sized.filter(col("bsz") > maxBucketSize).withColumn("rk",
-          row_number().over(Window.partitionBy("band", "bucket").orderBy("id")))
-        val chained = big.select(col("band"), col("bucket"), col("rk"), col("id").as("a"))
-          .join(big.select(col("band"), col("bucket"), (col("rk") - 1).as("rk"),
-            col("id").as("b")), Seq("band", "bucket", "rk"))
-          .select("a", "b")
-        allPairs.union(chained).dropDuplicates("a", "b")
-      }
+    val pairs = bucketPairs(buckets, Seq("band", "bucket"), maxBucketSize)
     ngramJaccard(docs, pairs, idCol, textCol, shingleK)
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
@@ -86,21 +103,23 @@ object Dedup {
   /** SimHash near-dup: 64-bit fingerprints, banded into 4×16-bit chunks
     * (any pair within hamming ≤ 3 shares at least one exact chunk), verified
     * by exact hamming distance. Output: (a, b, hamming).
+    *
+    * Each chunk has only 2^16 possible values, so at web scale EVERY chunk
+    * bucket is hot (~10^5+ docs per bucket at 10^10 docs) — `maxBucketSize`
+    * chains oversized buckets (see [[bucketPairs]]) instead of emitting their
+    * quadratic pair set. The chunk join is ids-only; fingerprints rejoin by
+    * id for the exact hamming verify.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
     val hashed = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
-    val chunks = hashed.select(col("id"), col("sh"),
+    val chunks = hashed.select(col("id"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("chunk_idx", "chunk")))
-    val l = chunks.select(col("chunk_idx"), col("chunk"),
-      col("id").as("a"), col("sh").as("fa"))
-    val r = chunks.select(col("chunk_idx"), col("chunk"),
-      col("id").as("b"), col("sh").as("fb"))
-    l.join(r, Seq("chunk_idx", "chunk"))
-      .filter(col("a") < col("b"))
-      .dropDuplicates("a", "b")
+    bucketPairs(chunks, Seq("chunk_idx", "chunk"), maxBucketSize)
+      .join(hashed.select(col("id").as("a"), col("sh").as("fa")), Seq("a"))
+      .join(hashed.select(col("id").as("b"), col("sh").as("fb")), Seq("b"))
       .withColumn("hamming", hamming64(col("fa"), col("fb")))
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
@@ -123,16 +142,22 @@ object Dedup {
 
   /** Embedding-cosine near-dup: LSH-bucketed (random-hyperplane sign bits)
     * candidate pairs verified by exact cosine. Output: (a, b, cosine).
+    *
+    * Near-dup clusters are exactly where embedding mass concentrates, so a
+    * popular region can put N²/2 pairs into one of the 2^planes buckets —
+    * `maxBucketSize` chains oversized buckets (see [[bucketPairs]]). The
+    * bucket join is ids-only; vectors rejoin by id for the exact-cosine
+    * verify, crossing the wire once per id, never once per candidate pair.
     */
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
-      planes: Int = 12, threshold: Double = 0.95): DataFrame = {
-    val bucketed = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", SimSearch.hyperplaneBucket(col("v"), planes))
-    val l = bucketed.select(col("bucket"), col("id").as("a"), col("v").as("va"))
-    val r = bucketed.select(col("bucket"), col("id").as("b"), col("v").as("vb"))
-    l.join(r, Seq("bucket"))
-      .filter(col("a") < col("b"))
-      .dropDuplicates("a", "b")
+      planes: Int = 12, threshold: Double = 0.95,
+      maxBucketSize: Int = 4096): DataFrame = {
+    val vecs = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketed = vecs
+      .select(col("id"), SimSearch.hyperplaneBucket(col("v"), planes).as("bucket"))
+    bucketPairs(bucketed, Seq("bucket"), maxBucketSize)
+      .join(vecs.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(vecs.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
       .withColumn("cosine", SimSearch.cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")

@@ -42,6 +42,8 @@ final class BloomShardStore(val dir: String, val numBuckets: Int,
 
   /** Fold `urls` (a single `url` string column) into the shard files. */
   def mergeDelta(urls: DataFrame): Unit = {
+    require(urls.columns.length == 1,
+      s"mergeDelta expects a single url column, got ${urls.columns.mkString(",")}")
     val (d, bits, k, nb) = (dir, bitsPerShard, numHashes, numBuckets)
     urls
       .withColumn("__b", graft.plans.planfns.url_shard(col(urls.columns.head), nb))
@@ -73,6 +75,7 @@ final class BloomShardStore(val dir: String, val numBuckets: Int,
     val (d, nb) = (dir, numBuckets)
     val outSchema = df.schema.add("maybe_seen", BooleanType, nullable = false)
     val width = df.schema.size
+    val urlIdx = df.schema.fieldIndex(urlCol) // url may sit anywhere in df
     df.withColumn("__b", graft.plans.planfns.url_shard(col(urlCol), nb))
       .repartition(nb, col("__b"))
       .sortWithinPartitions("__b")
@@ -83,7 +86,7 @@ final class BloomShardStore(val dir: String, val numBuckets: Int,
         it.map { row =>
           val b = row.getInt(width)
           if (b != cur) { cur = b; sk = readShard(s"$d/bucket-$b.bloom", conf) }
-          val u = row.getString(0)
+          val u = row.getString(urlIdx)
           val flag = sk.exists(_.mightContain(u))
           Row.fromSeq(row.toSeq.dropRight(1) :+ flag)
         }
@@ -117,10 +120,20 @@ object BloomShardStore {
     ((z & Long.MaxValue) % numBuckets).toInt
   }
 
-  /** Atomic shard replace: tmp write + FileContext rename(OVERWRITE). */
+  /** Atomic shard replace: tmp write + FileContext rename(OVERWRITE). The
+    * tmp name must be GLOBALLY unique — a speculative/retried copy of the
+    * same merge task on another executor can share a thread id, and two
+    * writers interleaving into one tmp file would install a corrupted shard
+    * (cleared bits ⇒ bloom false negatives ⇒ re-visited URLs). Task attempt
+    * ids are unique per attempt across the app; the UUID covers non-task
+    * callers.
+    */
   private def writeShard(path: String, sk: BloomSketch, conf: Configuration): Unit = {
     val fin = new Path(path)
-    val tmp = new Path(fin.getParent, s".tmp-${fin.getName}-${Thread.currentThread().getId}")
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(tc => s"a${tc.taskAttemptId()}")
+      .getOrElse(s"u${java.util.UUID.randomUUID().toString.take(8)}")
+    val tmp = new Path(fin.getParent, s".tmp-${fin.getName}-$attempt")
     val fs = fin.getFileSystem(conf)
     fs.mkdirs(fin.getParent)
     val out = new DataOutputStream(new java.io.BufferedOutputStream(fs.create(tmp, true)))

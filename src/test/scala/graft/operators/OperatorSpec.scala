@@ -56,6 +56,33 @@ class OperatorSpec extends AnyFunSuite {
     assert((1L to 20L).map(find).toSet.size == 1, "cap broke dup-cluster connectivity")
   }
 
+  test("simhash hot-bucket cap: identical docs chain in O(N) pairs, stay connected") {
+    val many = (1L to 20L).map(i => (i, docA)).toDF("doc_id", "text")
+    val pairs = Dedup.simHash(many, "doc_id", "text", maxHamming = 3,
+      maxBucketSize = 5)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.forall(_._3 == 0))
+    assert(pairs.size < 190, s"quadratic blowup not capped: ${pairs.size} pairs")
+    val parent = scala.collection.mutable.Map((1L to 20L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b, _) => parent(find(a)) = find(b) }
+    assert((1L to 20L).map(find).toSet.size == 1, "cap broke dup-cluster connectivity")
+  }
+
+  test("embedding near-dup hot-bucket cap: identical vectors chain in O(N) pairs") {
+    val vec = Array.tabulate(8)(d => TextOps.mix64(d).toFloat / Long.MaxValue)
+    val many = (1L to 20L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(many, "vec_id", "embedding",
+      planes = 8, threshold = 0.99, maxBucketSize = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.forall(_._3 > 0.999999))
+    assert(pairs.size < 190, s"quadratic blowup not capped: ${pairs.size} pairs")
+    val parent = scala.collection.mutable.Map((1L to 20L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b, _) => parent(find(a)) = find(b) }
+    assert((1L to 20L).map(find).toSet.size == 1, "cap broke dup-cluster connectivity")
+  }
+
   test("simhash finds identical and near pairs, not unrelated ones") {
     val pairs = Dedup.simHash(docs, "doc_id", "text", maxHamming = 16)
       .as[(Long, Long, Int)].collect().toSeq

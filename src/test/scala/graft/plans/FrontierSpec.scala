@@ -77,12 +77,15 @@ class FrontierSpec extends AnyFunSuite {
     }
     assert(java.util.Arrays.equals(fileBytes, goldenBytes), s"$scenario links.txt bytes")
     // per-epoch frontiers
+    // sorted-SEQUENCE equality (not Set): a duplicate url row in a frontier
+    // (e.g. a regression in the groupBy-min candidate merge) must fail here
     val expectedEpochs = resLines(s"/sites/$scenario/frontier_epochs.txt")
       .map { l => val Array(e, u) = l.split("\t", 2); (e.toInt, u) }
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted(CrawlEngine.codePointOrdering)).toMap
     for ((e, urls) <- expectedEpochs) {
       val got = spark.read.parquet(s"$wh/frontier/epoch=$e")
-        .select("url").as[String].collect().toSet
+        .select("url").orderBy("url").as[String].collect().toSeq
       assert(got == urls, s"$scenario frontier epoch $e")
     }
     assert(result.epochs == expectedEpochs.size, s"$scenario epoch count")
@@ -177,8 +180,10 @@ class FrontierSpec extends AnyFunSuite {
       .run(pages, s"https://$domain", whPart)
     assert(resumed.trace.select("epoch", "url").as[(Int, String)].collect().toSeq ==
       full.trace.select("epoch", "url").as[(Int, String)].collect().toSeq)
-    assert(resumed.links.select("url").as[String].collect().sorted.toSeq ==
-      full.links.select("url").as[String].collect().sorted.toSeq)
+    // Spark-side orderBy = code-point order (the repo-wide sort rule);
+    // driver-side .sorted would be UTF-16 code-unit order
+    assert(resumed.links.select("url").orderBy("url").as[String].collect().toSeq ==
+      full.links.select("url").orderBy("url").as[String].collect().toSeq)
   }
 
   test("crash: torn manifest and uncommitted data dirs are invisible on resume") {
