@@ -19,8 +19,13 @@ import graft.url.urlfns._
   * Every SQL-expressible operator has a DuckDB `oracleSql` twin with
   * identically-aliased columns; aggregates are integer-exact (counts, bigint
   * sums, cents via round·100) so Spark/DuckDB results hash-match bit-for-bit
-  * regardless of float summation order. Crawl-native and sketch/LSH
-  * operators are deterministic but not ANSI-SQL-expressible → rows-only.
+  * regardless of float summation order. Cosine comparisons are bit-exact via
+  * CAST(... AS DOUBLE[]) (DuckDB then accumulates in double, matching the
+  * engine's sequential fold), and the hyperplane-LSH family inlines its
+  * deterministic plane constants into the SQL (bucketSqlExpr). Crawl-native
+  * and hash-sketch operators (minhash/simhash/fingerprint need wrapping
+  * 64-bit multiplies DuckDB lacks; HTML/URL parsing is not SQL) → rows-only,
+  * each covered by golden/differential sbt suites.
   */
 object SparkEntry {
 
@@ -191,6 +196,14 @@ object SparkEntry {
       graft.operators.SimSearchIvf.ivfTopK(e, e.filter(col("vec_id") < 20),
         "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
     },
+    "q_ann_ivf_exactk" -> { (s, d) =>
+      // nProbe = nLists ⇒ every query probes every inverted list, making IVF
+      // brute-force-equivalent — the oracle-able twin of q_ann_ivf (same
+      // trainer, assigner, and scorer code paths, recall forced to 1)
+      val e = s.read.parquet(t(d, "embeddings"))
+      graft.operators.SimSearchIvf.ivfTopK(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, nLists = 16, nProbe = 16)
+    },
     "q_media_features" -> { (s, d) =>
       val docs = s.read.parquet(t(d, "documents"))
       MediaOps.extractFeatures(
@@ -251,6 +264,25 @@ object SparkEntry {
           robots_allowed(col("url"), prefixes, allows).cast("int"))
         .select("doc_id", "url", "allowed")
     })
+
+  /** The hyperplane components are pure deterministic constants
+    * ([[graft.operators.SimSearch.planeComponent]]), so the sign-bit bucket is
+    * ANSI-SQL-expressible by inlining them as double literals. The generated
+    * dot product is a left-associative `+` chain over `CAST(embedding AS
+    * DOUBLE[])` elements — the same sequential double accumulation as the
+    * codegen'd [[graft.operators.VecOps.hyperplaneBucket]], hence bit-exact
+    * (Double.toString round-trips through DuckDB's correctly-rounded parser).
+    */
+  private def bucketSqlExpr(planes: Int, dim: Int, arr: String): String =
+    (0 until planes).map { p =>
+      val dot = (0 until dim)
+        .map(d => s"$arr[${d + 1}]*${SimSearch.planeComponent(p, d)}")
+        .mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** testdata embeddings are dim-64 at every sf (TESTDATA.md). */
+  private val EmbDim = 64
 
   /** DuckDB twins. Integer-exact only; every column aliased identically. */
   def oracleSql: Map[String, String] = Map(
@@ -322,6 +354,36 @@ object SparkEntry {
          FROM embeddings e1, embeddings e2
          WHERE e1.vec_id < e2.vec_id
          AND list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) >= 0.3""",
+    "q_ann_ivf_exactk" ->
+      // nProbe = nLists makes IVF brute-equivalent, so the exact top-k SQL
+      // (the q_ann_brute twin) is its oracle
+      """SELECT query_id, neighbor_id, cosine, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cosine,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id) AS INTEGER) AS rank
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         WHERE rank <= 5""",
+    "q_embed_neardup" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         bk AS (SELECT vec_id, e, ${bucketSqlExpr(8, EmbDim, "e")} AS bucket FROM v)
+         SELECT l.vec_id AS a, r.vec_id AS b,
+           list_cosine_similarity(l.e, r.e) AS cosine
+         FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         WHERE list_cosine_similarity(l.e, r.e) >= 0.3""",
+    "q_ann_lsh" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         bk AS (SELECT vec_id, e, ${bucketSqlExpr(8, EmbDim, "e")} AS bucket FROM v)
+         SELECT query_id, neighbor_id, cosine, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.e, c.e) AS cosine,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id) AS INTEGER) AS rank
+           FROM bk q JOIN bk c ON q.bucket = c.bucket
+           WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         WHERE rank <= 5""",
     "q_robots_gate" ->
       """SELECT doc_id,
          'https://example.com' || path AS url,
