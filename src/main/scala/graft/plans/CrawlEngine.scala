@@ -33,6 +33,13 @@ import graft.url.urlfns._
   *                        (the 10^10-scale path: no monolithic broadcast),
   *                        Some(false) forces the broadcast probe, None = auto
   *                        by sketch size vs bloomBroadcastMaxBytes
+  * @param sketchKind      "bloom" (default) or "cuckoo" — the north_star's
+  *                        cuckoo-filter fallback for the URL-seen set
+  *                        ([[graft.sketch.SeenSketch]]: deletable membership;
+  *                        saturation degrades to always-maybe, never a false
+  *                        negative). Cuckoo is broadcast-only — the shard-file
+  *                        store is bloom-format — so it forces the broadcast
+  *                        probe regardless of bloomFileProbe.
   */
 final case class CrawlConfig(
     domain: String,
@@ -44,6 +51,7 @@ final case class CrawlConfig(
     bloomExpectedTotal: Long = 10000000L,
     bloomShards: Int = 32,
     bloomFileProbe: Option[Boolean] = None,
+    sketchKind: String = "bloom",
     bloomBroadcastMaxBytes: Long = 256L << 20,
     broadcastFetchMax: Long = 100000L,
     robotsBroadcastMax: Long = 100000L,
@@ -278,9 +286,12 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
     //  - sharded files (the 10^10 path): url-hash-bucketed shard files built
     //    and probed executor-side (BloomShardStore) — the full sketch never
     //    exists in one JVM and probes touch only each task's buckets.
+    require(config.sketchKind == "bloom" || config.sketchKind == "cuckoo",
+      s"unknown sketchKind '${config.sketchKind}' (bloom|cuckoo)")
+    val useCuckoo = config.sketchKind == "cuckoo"
     val (sketchBits, sketchHashes) =
       BloomSketch.sizing(config.bloomExpectedTotal, config.bloomFpp)
-    val fileProbe = config.bloomFileProbe
+    val fileProbe = !useCuckoo && config.bloomFileProbe
       .getOrElse(sketchBits / 8 > config.bloomBroadcastMaxBytes)
     val shardStore =
       if (fileProbe) {
@@ -293,17 +304,28 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
           ((sketchBits / shards + 63) >> 6) << 6, sketchHashes)
       } else null
     var seenSketch: BloomSketch = null
+    var seenCuckoo: graft.sketch.SeenSketch = null
     var sketchActive = false
-    def mergeIntoSketch(urls: DataFrame): Unit =
-      if (fileProbe) shardStore.mergeDelta(urls.select("url"))
-      else {
-        if (seenSketch == null) seenSketch = new BloomSketch(sketchBits, sketchHashes)
-        // few, larger leaf tasks: every treeAggregate leaf ships one
-        // full-size sketch, so bound the leaf count rather than the row count
+    def mergeIntoSketch(urls: DataFrame): Unit = {
+      // few, larger leaf tasks: every treeAggregate leaf ships one
+      // full-size sketch, so bound the leaf count rather than the row count
+      def deltaRdd = {
         val rdd0 = urls.select("url").as[String].rdd
-        val rdd = if (rdd0.getNumPartitions > 8) rdd0.coalesce(8) else rdd0
-        seenSketch.merge(BloomSketch.build(rdd, config.bloomExpectedTotal, config.bloomFpp))
+        if (rdd0.getNumPartitions > 8) rdd0.coalesce(8) else rdd0
       }
+      if (fileProbe) shardStore.mergeDelta(urls.select("url"))
+      else if (useCuckoo) {
+        if (seenCuckoo == null)
+          seenCuckoo = new graft.sketch.SeenSketch(config.bloomExpectedTotal)
+        // a saturating merge degrades the sketch to always-maybe (every row
+        // then takes the authoritative anti-join) — never a false negative
+        seenCuckoo.merge(
+          graft.sketch.SeenSketch.build(deltaRdd, config.bloomExpectedTotal))
+      } else {
+        if (seenSketch == null) seenSketch = new BloomSketch(sketchBits, sketchHashes)
+        seenSketch.merge(BloomSketch.build(deltaRdd, config.bloomExpectedTotal, config.bloomFpp))
+      }
+    }
 
     while (frontierCount > 0 && epoch < config.maxEpochs) {
       val t0 = System.nanoTime()
@@ -413,11 +435,17 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         sketchActive = true
       }
       val bloomBcast =
-        if (sketchActive && !fileProbe) spark.sparkContext.broadcast(seenSketch)
+        if (sketchActive && !fileProbe && !useCuckoo)
+          spark.sparkContext.broadcast(seenSketch)
+        else null
+      val cuckooBcast =
+        if (sketchActive && useCuckoo) spark.sparkContext.broadcast(seenCuckoo)
         else null
       val probe: Option[DataFrame => DataFrame] =
         if (!sketchActive) None
         else if (fileProbe) Some(df => shardStore.probe(df, "url"))
+        else if (useCuckoo)
+          Some(df => df.withColumn("maybe_seen", cuckoo_might_contain(cuckooBcast, col("url"))))
         else Some(df => df.withColumn("maybe_seen", bloom_might_contain(bloomBcast, col("url"))))
       val deduped = dedupAgainst(candidates, visitedAll, probe)
       // deduped is already hash-partitioned by url (dropDuplicates/anti-join
@@ -437,6 +465,7 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       // write above — release it so long crawls don't accumulate broadcast
       // state on the driver/executors
       if (bloomBcast != null) bloomBcast.destroy()
+      if (cuckooBcast != null) cuckooBcast.destroy()
       // BASELINE.json metric numerator (URLs scheduled + entering dedup),
       // counted AFTER the frontier write so the job is a scan of the
       // already-materialized cache, not a second upstream computation.

@@ -103,12 +103,36 @@ case class BloomMightContain(bcast: Broadcast[BloomSketch], child: Expression)
     copy(child = c)
 }
 
+/** Cuckoo-sketch membership probe against a broadcast [[graft.sketch.SeenSketch]]
+  * — the north_star's cuckoo-filter form of the O-7b fast path. Identical
+  * contract to [[BloomMightContain]]: `false` ⇒ definitely unseen. A degraded
+  * (saturated) sketch answers `true` for every row, which only routes rows to
+  * the authoritative anti-join.
+  */
+case class CuckooMightContain(bcast: Broadcast[graft.sketch.SeenSketch],
+    child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    bcast.value.mightContainBytes(input.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cuckooBcast", bcast,
+      classOf[Broadcast[graft.sketch.SeenSketch]].getName)
+    defineCodeGen(ctx, ev,
+      c => s"((graft.sketch.SeenSketch)$ref.value()).mightContainBytes($c.getBytes())")
+  }
+  override protected def withNewChildInternal(c: Expression): CuckooMightContain =
+    copy(child = c)
+}
+
 object planfns {
   def host_key(c: Column): Column = column(HostKey(expression(c)))
   def robots_allowed(url: Column, prefixes: Column, allows: Column): Column =
     column(RobotsAllowed(expression(url), expression(prefixes), expression(allows)))
   def bloom_might_contain(b: Broadcast[BloomSketch], c: Column): Column =
     column(BloomMightContain(b, expression(c)))
+  def cuckoo_might_contain(b: Broadcast[graft.sketch.SeenSketch], c: Column): Column =
+    column(CuckooMightContain(b, expression(c)))
   def url_shard(c: Column, numBuckets: Int): Column =
     column(UrlShard(expression(c), numBuckets))
 }

@@ -147,9 +147,11 @@ final class CuckooSketch(val numBuckets: Int) extends Serializable {
 
 object CuckooSketch {
   def forExpected(expectedItems: Long): CuckooSketch = {
-    // target ≤ ~84% load (practical cuckoo ceiling at b=4)
-    val needed = math.max(64L, math.ceil(expectedItems / 0.84 / 4).toLong)
-    var buckets = 64
+    // target ≤ ~84% load (practical cuckoo ceiling at b=4); floor of 4
+    // buckets keeps the structure honest while letting deliberately tiny
+    // filters saturate (the degrade-to-maybe path is itself under test)
+    val needed = math.max(4L, math.ceil(expectedItems / 0.84 / 4).toLong)
+    var buckets = 4
     while (buckets < needed && buckets < (1 << 30)) buckets <<= 1
     new CuckooSketch(buckets)
   }
@@ -171,11 +173,20 @@ final class SeenSketch(expectedItems: Long) extends Serializable {
   def add(x: String): Unit =
     if (!degraded && !cuckoo.add(x)) degraded = true
 
+  def addBytes(bytes: Array[Byte]): Unit =
+    if (!degraded && !cuckoo.addBytes(bytes)) degraded = true
+
   /** Deletable membership (the property blooms lack). No-op once degraded. */
   def remove(x: String): Boolean = !degraded && cuckoo.remove(x)
 
   /** No false negatives, even across degradation. */
   def mightContain(x: String): Boolean = degraded || cuckoo.mightContain(x)
+
+  /** UTF-8-bytes form for the plan-side probe expression (avoids a String
+    * round-trip per row).
+    */
+  def mightContainBytes(bytes: Array[Byte]): Boolean =
+    degraded || cuckoo.mightContainBytes(bytes)
 
   def isDegraded: Boolean = degraded
 
@@ -183,5 +194,21 @@ final class SeenSketch(expectedItems: Long) extends Serializable {
     if (degraded || other.degraded) degraded = true
     else if (!cuckoo.merge(other.cuckoo)) degraded = true
     this
+  }
+}
+
+object SeenSketch {
+  /** Distributed build mirroring [[BloomSketch.build]]: per-partition
+    * sketches, log-depth treeAggregate merge. Saturation during any seq/comb
+    * step flips the result to the degraded always-maybe state — conservative
+    * (extra anti-join traffic), never a false negative.
+    */
+  def build(urls: org.apache.spark.rdd.RDD[String], expectedItems: Long): SeenSketch = {
+    val depth = math.max(2,
+      (math.log(math.max(urls.getNumPartitions, 2)) / math.log(2)).toInt)
+    urls.treeAggregate(new SeenSketch(expectedItems))(
+      seqOp = (s, u) => { s.add(u); s },
+      combOp = (a, b) => a.merge(b),
+      depth = depth)
   }
 }

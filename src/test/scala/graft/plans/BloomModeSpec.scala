@@ -38,7 +38,7 @@ class BloomModeSpec extends AnyFunSuite {
     val wh = Files.createTempDirectory("graft-bloommode-").toString
     val r = new CrawlEngine(spark, cfg).run(cyclicPages, s"https://$domain/p/0", wh)
     (r.trace.select("epoch", "url").as[(Int, String)].collect().toSeq,
-      r.links.select("url").as[String].collect().sorted.toSeq)
+      r.links.select("url").orderBy("url").as[String].collect().toSeq)
   }
 
   private lazy val plain = crawl(CrawlConfig(domain, numPartitions = 4,
@@ -67,6 +67,23 @@ class BloomModeSpec extends AnyFunSuite {
     val shards = Option(shardDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".bloom"))
     assert(shards.nonEmpty, "no shard files written")
+  }
+
+  test("cuckoo seen-sketch probe ≡ plain anti-join (north_star fallback wired)") {
+    val (trace, links) = crawl(CrawlConfig(domain, numPartitions = 4,
+      sketchKind = "cuckoo", bloomMinSeen = 4, bloomExpectedTotal = 1024))
+    val urls = trace.map(_._2)
+    assert(urls.distinct.size == urls.size, "duplicate visits")
+    assert((trace, links) == plain)
+  }
+
+  test("saturated (degraded) cuckoo sketch still crawls exactly") {
+    // expectedTotal 1 ⇒ 64-bucket filter saturates mid-crawl and degrades to
+    // always-maybe; every row then takes the authoritative anti-join — the
+    // trace must stay identical (correctness never rides on the sketch)
+    val (trace, links) = crawl(CrawlConfig(domain, numPartitions = 4,
+      sketchKind = "cuckoo", bloomMinSeen = 4, bloomExpectedTotal = 1))
+    assert((trace, links) == plain)
   }
 
   test("BloomShardStore: no false negatives across delta merges; misses stay mostly false") {

@@ -92,6 +92,19 @@ class SketchSpec extends AnyFunSuite {
     assert((ua ++ ub).forall(a.mightContain))
   }
 
+  test("seen-sketch: treeAggregate build has no false negatives; tiny build degrades") {
+    val spark = SparkTestSession.spark
+    val in = urls(0, 3000)
+    val rdd = spark.sparkContext.parallelize(in, 8)
+    val dist = SeenSketch.build(rdd, 4000)
+    assert(in.forall(dist.mightContain))
+    assert(!dist.isDegraded, "healthy-capacity build should not saturate")
+    // under-provisioned distributed build saturates → degraded, still no FN
+    val tiny = SeenSketch.build(rdd, 64)
+    assert(tiny.isDegraded)
+    assert(in.forall(tiny.mightContain))
+  }
+
   test("seen-sketch facade: saturation degrades to always-maybe, never false-negative") {
     val s = new SeenSketch(64) // deliberately tiny → forced saturation
     val in = urls(0, 5000)
