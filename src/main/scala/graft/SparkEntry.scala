@@ -205,9 +205,11 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nLists = 16, nProbe = 16)
     },
     "q_media_features" -> { (s, d) =>
+      // corpus encode is cached per sf dir (atomic publish) so this query
+      // times the operator — decode + resize + pool — not PNG/WAV encode
       val docs = s.read.parquet(t(d, "documents"))
       MediaOps.extractFeatures(
-        MediaOps.synthesize(docs, "doc_id", "text"),
+        MediaOps.cachedCorpus(docs, "doc_id", "text", cacheKey = d),
         targetW = 64, targetH = 64, dim = 16)
         .toDF()
         .select(col("doc_id"), col("mediaType"), col("frames"),

@@ -138,6 +138,38 @@ object MediaOps {
       }
   }
 
+  /** Synthesize-once parquet cache for the media corpus. Encoding the
+    * synthetic PNG/WAV/GFTV bytes is harness cost, not operator cost — a
+    * feature query that re-encodes the corpus inside its timed region
+    * measures the wrong thing. The corpus is a pure function of the doc ids,
+    * so it is written once per `cacheKey` (atomic publish: write to a temp
+    * dir, rename into place; a lost race discards the temp copy) and read
+    * back from parquet thereafter — queries then time decode + featurize.
+    */
+  def cachedCorpus(docs: DataFrame, idCol: String, payloadCol: String,
+      cacheKey: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val safe = cacheKey.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-media-cache")
+    val dir = new java.io.File(base, safe)
+    if (!dir.exists()) {
+      base.mkdirs()
+      val tmp = new java.io.File(base,
+        s".$safe.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      synthesize(docs, idCol, payloadCol).write.mode("overwrite")
+        .parquet(tmp.toString)
+      if (!tmp.renameTo(dir)) deleteRecursively(tmp) // another writer won
+    }
+    spark.read.parquet(dir.toString).as[MediaRow]
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   /** decode → resize(targetW×targetH) → frame-sample → feature-extract →
     * mean-pool, batched per partition (constant-memory batch shape; the
     * mapInPandas analog). Null media → null-safe skip; unrecognized codec →

@@ -199,6 +199,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(back.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) })
   }
 
+  test("cached media corpus is byte-identical to fresh synthesis") {
+    val ops = graft.multimodal.MediaOps
+    val key = s"operatorspec-${System.nanoTime()}" // unique → exercises write path
+    val cached = ops.cachedCorpus(docs, "doc_id", "text", key).collect().sortBy(_.doc_id)
+    val fresh = ops.synthesize(docs, "doc_id", "text").collect().sortBy(_.doc_id)
+    assert(cached.length == fresh.length)
+    cached.zip(fresh).foreach { case (c, f) =>
+      assert(c.meta == f.meta, s"meta mismatch doc ${c.doc_id}")
+      assert(java.util.Arrays.equals(c.media, f.media), s"bytes mismatch doc ${c.doc_id}")
+    }
+    // second call must hit the published cache (same rows, no re-encode)
+    val again = ops.cachedCorpus(docs, "doc_id", "text", key).collect().sortBy(_.doc_id)
+    assert(again.map(_.doc_id).toSeq == cached.map(_.doc_id).toSeq)
+  }
+
   test("media pipeline is deterministic with correct shapes") {
     val m = graft.multimodal.MediaOps.synthesize(docs, "doc_id", "text")
     val f1 = graft.multimodal.MediaOps.extractFeatures(m, dim = 16).collect().sortBy(_.doc_id)
