@@ -35,39 +35,69 @@ trait HtmlEvents {
   * crawler.py:32). Single-shot parse ≡ `feed(doc); close()` (goahead with
   * end=True). Never throws on malformed input (SURVEY.md §2 O-16).
   *
-  * Divergence note (documented fixture restriction, SURVEY.md §5.2): regex
-  * `\s` here is ASCII whitespace; Python's str-mode `\s` also matches some
-  * non-ASCII whitespace. Fixtures are restricted to ASCII whitespace.
+  * CPython compiles these patterns on `str`, so `\s` is Py_UNICODE_ISSPACE —
+  * NOT Java's `\s` (ASCII-only) and not even Java's UNICODE_CHARACTER_CLASS
+  * `\s` (Unicode White_Space, which excludes U+001C–U+001F that Python
+  * includes). The class is therefore spelled out ([[S]]), and `.strip()`
+  * call sites use the same predicate ([[pyStrip]]).
   */
 object HtmlTokenizer {
 
   private val CDATA_CONTENT_ELEMENTS = Set("script", "style")
 
+  /** Python str-mode `\s` / `str.isspace()` char set (identical predicates,
+    * verified by enumeration over the BMP): HT LF VT FF CR, FS GS RS US
+    * (1C–1F), SP, NEL (85), NBSP (A0), OGHAM (1680), EN-QUAD..HAIR (2000–
+    * 200A), LS PS (2028/2029), NNBSP (202F), MMSP (205F), IDEOGRAPHIC (3000).
+    * (No astral-plane whitespace exists, so char-level matching is safe.)
+    */
+  private val S =
+    "\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\u1680\\u2000-\\u200A" +
+      "\\u2028\\u2029\\u202F\\u205F\\u3000"
+
+  @inline private[html] def isPySpace(c: Char): Boolean =
+    (c >= 0x09 && c <= 0x0d) || (c >= 0x1c && c <= 0x1f) ||
+      c == 0x20 || c == 0x85 || c == 0xa0 || c == 0x1680 ||
+      (c >= 0x2000 && c <= 0x200a) || c == 0x2028 || c == 0x2029 ||
+      c == 0x202f || c == 0x205f || c == 0x3000
+
+  /** Python `str.strip()` (same char set as `\s` — not Java `trim`, which
+    * only strips ≤ U+0020).
+    */
+  private[html] def pyStrip(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && isPySpace(s.charAt(a))) a += 1
+    while (b > a && isPySpace(s.charAt(b - 1))) b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
   private val starttagopen = Pattern.compile("<[a-zA-Z]")
   private val tagfindTolerant =
-    Pattern.compile("([a-zA-Z][^\\t\\n\\r\\f />\\x00]*)(?:\\s|/(?!>))*")
+    Pattern.compile(s"([a-zA-Z][^\\t\\n\\r\\f />\\x00]*)(?:[$S]|/(?!>))*")
   private val attrfindTolerant = Pattern.compile(
-    "((?<=['\"\\s/])[^\\s/>][^\\s/=>]*)(\\s*=+\\s*" +
-      "('[^']*'|\"[^\"]*\"|(?!['\"])[^>\\s]*))?(?:\\s|/(?!>))*")
+    s"((?<=['\"$S/])[^$S/>][^$S/=>]*)([$S]*=+[$S]*" +
+      s"('[^']*'|\"[^\"]*\"|(?!['\"])[^>$S]*))?(?:[$S]|/(?!>))*")
   private val locatestarttagendTolerant = Pattern.compile(
     "<[a-zA-Z][^\\t\\n\\r\\f />\\x00]*" + // tag name
-      "(?:[\\s/]*" + // optional whitespace before attribute name
-      "(?:(?<=['\"\\s/])[^\\s/>][^\\s/=>]*" + // attribute name
-      "(?:\\s*=+\\s*" + // value indicator
+      s"(?:[$S/]*" + // optional whitespace before attribute name
+      s"(?:(?<=['\"$S/])[^$S/>][^$S/=>]*" + // attribute name
+      s"(?:[$S]*=+[$S]*" + // value indicator
       "(?:'[^']*'" + // LITA-enclosed value
       "|\"[^\"]*\"" + // LIT-enclosed value
-      "|(?!['\"])[^>\\s]*" + // bare value
+      s"|(?!['\"])[^>$S]*" + // bare value
       ")" +
-      "(?:\\s*,)*" + // possibly followed by a comma
-      ")?(?:\\s|/(?!>))*" +
+      s"(?:[$S]*,)*" + // possibly followed by a comma
+      s")?(?:[$S]|/(?!>))*" +
       ")*" +
       ")?" +
-      "\\s*") // trailing whitespace
-  private val endtagfind = Pattern.compile("</\\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\\s*>")
-  private val commentclose = Pattern.compile("--\\s*>")
-  private val markedSectionClose = Pattern.compile("]\\s*]\\s*>")
-  private val msMarkedSectionClose = Pattern.compile("]\\s*>")
-  private val declnameMatch = Pattern.compile("[a-zA-Z][-_.a-zA-Z0-9]*\\s*")
+      s"[$S]*") // trailing whitespace
+  private val endtagfind =
+    Pattern.compile(s"</[$S]*([a-zA-Z][-.a-zA-Z0-9:_]*)[$S]*>")
+  private val commentclose = Pattern.compile(s"--[$S]*>")
+  private val markedSectionClose = Pattern.compile(s"][$S]*][$S]*>")
+  private val msMarkedSectionClose = Pattern.compile(s"][$S]*>")
+  private val declnameMatch = Pattern.compile(s"[a-zA-Z][-_.a-zA-Z0-9]*[$S]*")
 
   def parse(rawdata: String, cb: HtmlEvents): Unit = {
     val n = rawdata.length
@@ -77,7 +107,7 @@ object HtmlTokenizer {
 
     def setCdataMode(elem: String): Unit = {
       cdataElem = elem.toLowerCase(java.util.Locale.ROOT)
-      cdataClose = Pattern.compile("</\\s*" + cdataElem, Pattern.CASE_INSENSITIVE)
+      cdataClose = Pattern.compile(s"</[$S]*" + cdataElem, Pattern.CASE_INSENSITIVE)
     }
     def clearCdataMode(): Unit = { cdataElem = null; cdataClose = null }
 
@@ -147,7 +177,7 @@ object HtmlTokenizer {
           k = am.end()
         }
       }
-      val endText = rawdata.substring(math.min(k, endpos), endpos).trim
+      val endText = pyStrip(rawdata.substring(math.min(k, endpos), endpos))
       if (endText != ">" && endText != "/>") {
         cb.data(rawdata.substring(i, endpos))
         return endpos
@@ -218,7 +248,7 @@ object HtmlTokenizer {
       val dm = declnameMatch.matcher(rawdata)
       dm.region(i + 3, n)
       if (!dm.lookingAt()) return parseBogusComment(i) // lenient vs CPython error()
-      val sectName = dm.group().trim.toLowerCase(java.util.Locale.ROOT)
+      val sectName = pyStrip(dm.group()).toLowerCase(java.util.Locale.ROOT)
       val close =
         if (Set("temp", "cdata", "ignore", "include", "rcdata").contains(sectName))
           markedSectionClose

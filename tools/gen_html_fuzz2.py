@@ -72,6 +72,22 @@ NASTY = [
     "edge &#x110000; &#x10FFFF; &#1114112;",
     '<a href="/big?c=&#xFFFFFFFF;">bigattr</a>',
     '<a href="/z&#x0000000041;">zattr</a>',
+    # non-ASCII whitespace: Python str-mode \\s (Py_UNICODE_ISSPACE) also
+    # matches NBSP, NEL, FS..US, and the Unicode space/line separators --
+    # these exercise the engine's spelled-out whitespace class
+    '<a\u00a0href="/nbsp-sep">nbsp between tag and attr</a>',
+    '<a href\u00a0=\u00a0"/nbsp-eq">nbsp around =</a>',
+    '<a href=/bare\u00a0rest>nbsp ends bare value</a>',
+    '<a href="/t"\u3000>ideographic space before gt</a>',
+    '<a\u2028href="/ls">line separator</a>',
+    '<a\x1chref="/fs">file separator</a>',
+    '<a\x85href="/nel">NEL</a>',
+    '</a\u00a0>nbsp endtag</a>',
+    '</a\u2003\u2003>em-space endtag',
+    '<!-- c --\u3000>after comment',
+    '<![if x]\u2009>thin-space marked section',
+    '<a href="/mix\u00a0\u205f\t\u200a">ws soup in value</a>',
+    'nbsp\u00a0text\u3000wide',
 ]
 
 WORDS = ["plain", "text", "&amp;", "café", "1<2", "&#65;", "tail&copy;", "x"]
