@@ -22,10 +22,11 @@ import graft.url.urlfns._
   * regardless of float summation order. Cosine comparisons are bit-exact via
   * CAST(... AS DOUBLE[]) (DuckDB then accumulates in double, matching the
   * engine's sequential fold), and the hyperplane-LSH family inlines its
-  * deterministic plane constants into the SQL (bucketSqlExpr). Crawl-native
-  * and hash-sketch operators (minhash/simhash/fingerprint need wrapping
-  * 64-bit multiplies DuckDB lacks; HTML/URL parsing is not SQL) → rows-only,
-  * each covered by golden/differential sbt suites.
+  * deterministic plane constants into the SQL (bucketSqlExpr), and the
+  * wrapping-64-bit hash family (minhash/simhash/fingerprint) is emulated
+  * exactly in DuckDB HUGEINT mod-2^64 arithmetic ([[OracleHashSql]]).
+  * Crawl-native operators (HTML/URL parsing, the epoch loop) are not ANSI
+  * SQL → rows-only, each covered by golden/differential sbt suites.
   */
 object SparkEntry {
 
@@ -134,7 +135,7 @@ object SparkEntry {
         size(regexp_extract_all(col("text"),
           lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_bpeish"))
     },
-    // ---- rows-only: sketch/LSH/ANN/custom-expression operators -------------
+    // ---- sketch/LSH/ANN/custom-expression operators -------------------------
     "q_lang_quality" -> { (s, d) =>
       s.read.parquet(t(d, "documents")).select(
         col("doc_id"),
@@ -401,7 +402,21 @@ object SparkEntry {
              WHEN 3 THEN '/tmp' || doc_id
              ELSE '/' END AS path
            FROM documents)""",
-    "q_quality_stats" ->
+    // wrapping-64-bit hash kernels, emulated exactly in DuckDB via HUGEINT
+    // mod-2^64 arithmetic (see OracleHashSql)
+    "q_minhash_dedup" ->
+      OracleHashSql.minHashLsh(shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5),
+    "q_simhash_dedup" -> OracleHashSql.simHash(maxHamming = 3),
+    "q_lang_quality" ->
+      s"""WITH qq AS ($qualityStatsSql), ${OracleHashSql.fingerprintCtes}
+         SELECT qq.doc_id, qq.lang_guess, qq.quality, fpp.fp64
+         FROM qq JOIN fpp ON qq.doc_id = fpp.doc_id""",
+    "q_quality_stats" -> qualityStatsSql)
+
+  /** lang-ID + composite quality replicated from scratch in DuckDB SQL
+    * (shared by q_quality_stats and q_lang_quality).
+    */
+  private val qualityStatsSql: String =
       """WITH s AS (
            SELECT doc_id, text, length(text) AS nch,
              list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
@@ -436,5 +451,5 @@ object SparkEntry {
                  + (CASE WHEN meanlen BETWEEN 3000 AND 9000 THEN 100 ELSE 0 END)
                  + least(swx, 150) - least(punctx, 200) - least(digitx, 200)))
              AS BIGINT) AS quality
-         FROM m""")
+         FROM m"""
 }
