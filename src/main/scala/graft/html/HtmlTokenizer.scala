@@ -131,6 +131,9 @@ object HtmlTokenizer {
         (c >= 0x2000 && c <= 0x200a) || c == 0x2028 || c == 0x2029 ||
         c == 0x202f || c == 0x205f || c == 0x3000)))
 
+  /** Profiling hook (graft.tools.ExtractProfile) — same scan [[parse]] runs. */
+  private[graft] def hasExoticWsProbe(s: String): Boolean = hasExoticWs(s)
+
   private def hasExoticWs(s: String): Boolean = {
     var i = 0
     val n = s.length
@@ -150,6 +153,20 @@ object HtmlTokenizer {
     val P = if (hasExoticWs(rawdata)) UnicodeP else AsciiP
     import P._
 
+    // One matcher per pattern per parse — region(...) resets between uses, so
+    // the ~4 matchers/tag the loop would otherwise allocate are shared.
+    // Transparent bounds let lookbehinds see before region start, matching
+    // CPython's position-anchored match on the full string.
+    val mStartOpen = starttagopen.matcher(rawdata)
+    val mLocateEnd = locatestarttagendTolerant.matcher(rawdata)
+    mLocateEnd.useTransparentBounds(true)
+    val mTagfind = tagfindTolerant.matcher(rawdata)
+    mTagfind.useTransparentBounds(true)
+    val mAttrfind = attrfindTolerant.matcher(rawdata)
+    mAttrfind.useTransparentBounds(true)
+    val mEndtag = endtagfind.matcher(rawdata)
+    mEndtag.useTransparentBounds(true)
+
     def setCdataMode(elem: String): Unit = {
       cdataElem = elem.toLowerCase(java.util.Locale.ROOT)
       cdataClose = P.cdataClose(cdataElem)
@@ -162,9 +179,8 @@ object HtmlTokenizer {
     // ---- parse_starttag + check_for_whole_start_tag -----------------------
     // returns endpos, or -1 ≡ "incomplete at buffer end"
     def checkForWholeStartTag(i: Int): Int = {
-      val m = locatestarttagendTolerant.matcher(rawdata)
+      val m = mLocateEnd
       m.region(i, n)
-      m.useTransparentBounds(true)
       // Pattern.match from position: use lookingAt on region
       if (m.lookingAt()) {
         val j = m.end()
@@ -186,9 +202,8 @@ object HtmlTokenizer {
       val endpos = checkForWholeStartTag(i)
       if (endpos < 0) return endpos
       var attrs = List.newBuilder[(String, Option[String])]
-      val tm = tagfindTolerant.matcher(rawdata)
+      val tm = mTagfind
       tm.region(i + 1, n)
-      tm.useTransparentBounds(true)
       if (!tm.lookingAt()) return endpos // unreachable per CPython assert
       var k = tm.end()
       val tag = tm.group(1).toLowerCase(java.util.Locale.ROOT)
@@ -198,9 +213,8 @@ object HtmlTokenizer {
       }
       var attrsDone = false
       while (k < endpos && !attrsDone) {
-        val am = attrfindTolerant.matcher(rawdata)
+        val am = mAttrfind
         am.region(k, n)
-        am.useTransparentBounds(true)
         // CPython uses match (anchored at k) with no region end, so quoted
         // values may run past endpos; region end n reproduces that.
         if (!am.lookingAt()) { attrsDone = true } // CPython: break, k unchanged
@@ -244,17 +258,17 @@ object HtmlTokenizer {
     }
 
     def parseEndtag(i: Int): Int = {
-      val gm = Pattern.compile(">").matcher(rawdata)
-      if (!gm.find(i + 1)) return -1
-      val gtpos = gm.end()
-      val em = endtagfind.matcher(rawdata)
+      // CPython: re.compile('>').search(rawdata, i+1) — a literal single-char
+      // pattern, so indexOf is exact (and not a per-end-tag Pattern.compile)
+      val gt = find(">", i + 1)
+      if (gt < 0) return -1
+      val gtpos = gt + 1
+      val em = mEndtag
       em.region(i, n)
-      em.useTransparentBounds(true)
       if (!em.lookingAt()) {
         if (cdataElem != null) { cb.data(rawdata.substring(i, gtpos)); return gtpos }
-        val nm = tagfindTolerant.matcher(rawdata)
+        val nm = mTagfind
         nm.region(i + 2, n)
-        nm.useTransparentBounds(true)
         if (!nm.lookingAt()) {
           if (rawdata.substring(i, math.min(i + 3, n)) == "</>") return i + 3
           return parseBogusComment(i)
@@ -337,7 +351,7 @@ object HtmlTokenizer {
         if (i < n) {
           var k = 0
           if (startsWith("<", i)) {
-            val sm = starttagopen.matcher(rawdata)
+            val sm = mStartOpen
             sm.region(i, n)
             if (sm.lookingAt()) k = parseStarttag(i)
             else if (startsWith("</", i)) k = parseEndtag(i)
