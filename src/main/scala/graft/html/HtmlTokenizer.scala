@@ -86,7 +86,7 @@ object HtmlTokenizer {
     * Unicode set only for the rare document that needs it. The fuzz fixtures
     * exercise both paths.
     */
-  private final class WsPatterns(ws: String) {
+  private[html] final class WsPatterns(ws: String) {
     val tagfindTolerant =
       Pattern.compile(s"([a-zA-Z][^\\t\\n\\r\\f />\\x00]*)(?:[$ws]|/(?!>))*")
     val attrfindTolerant = Pattern.compile(
@@ -119,8 +119,165 @@ object HtmlTokenizer {
   /** Java `\s` as explicit singles — all < 256, so the class compiles to one
     * BitClass bitmap test (the fast path every ASCII-whitespace doc takes).
     */
-  private val AsciiP = new WsPatterns("\\t\\n\\x0B\\f\\r ")
+  private[html] val AsciiP = new WsPatterns("\\t\\n\\x0B\\f\\r ")
   private val UnicodeP = new WsPatterns(S)
+
+  /** Hand-rolled equivalents of the three ASCII-dialect start-tag patterns
+    * (locatestarttagendTolerant / tagfindTolerant / attrfindTolerant), the
+    * per-tag cost center of [[parse]]. Safe to simulate linearly: every
+    * group in those patterns is optional and nothing mandatory follows, so
+    * the regex never backtracks across a committed group — the only local
+    * retry is the value alternation, where an unterminated quote fails ALL
+    * branches (bare values can't start with a quote), i.e. the optional
+    * value group just doesn't match. Equivalence is enforced by
+    * FastScanSpec's regex-vs-scanner differential fuzz (and the dialect
+    * gate: exotic-whitespace documents keep the regex path).
+    */
+  private[html] object FastScan {
+    @inline private def isWs(c: Char): Boolean = c == ' ' || (c >= 0x09 && c <= 0x0d)
+    // tag-name continuation [^\t\n\r\f />\x00] — NOTE \x0B (VT) IS allowed
+    @inline private def isNameCh(c: Char): Boolean =
+      c != ' ' && c != '/' && c != '>' && c != 0x00 &&
+        c != '\t' && c != '\n' && c != '\r' && c != '\f'
+    @inline private def isLookbehind(c: Char): Boolean =
+      c == '\'' || c == '"' || c == '/' || isWs(c)
+
+    /** end of `(?:[ws]|/(?!>))*` from q0 */
+    @inline private def trailEnd(s: String, n: Int, q0: Int): Int = {
+      var q = q0
+      var go = true
+      while (go && q < n) {
+        val c = s.charAt(q)
+        if (isWs(c)) q += 1
+        else if (c == '/' && (q + 1 >= n || s.charAt(q + 1) != '>')) q += 1
+        else go = false
+      }
+      q
+    }
+
+    /** `[ws]*=+[ws]*('[^']*'|"[^"]*"|(?!['"])[^>ws]*)` from `from`; packs
+      * (valueStart, valueEnd) — quotes included, like regex group 3 — or -1
+      * when the optional value group fails.
+      *
+      * Replicates the regex's backtracking on an UNCLOSED quote (both quote
+      * branches fail and the bare branch's (?!['"]) rejects the quote char):
+      * the greedy `[ws]*` gives back one ws and the bare branch matches
+      * EMPTY there; with no ws, greedy `=+` gives back one '=' and the bare
+      * branch consumes from that '='; with a single '=' and no ws the whole
+      * optional group fails. (Fuzz-pinned by FastScanSpec.)
+      */
+    private def valTry(s: String, n: Int, from: Int): Long = {
+      var q = from
+      while (q < n && isWs(s.charAt(q))) q += 1
+      if (q >= n || s.charAt(q) != '=') return -1L
+      val eqStart = q
+      while (q < n && s.charAt(q) == '=') q += 1
+      val eqEnd = q
+      while (q < n && isWs(s.charAt(q))) q += 1
+      if (q < n && (s.charAt(q) == '\'' || s.charAt(q) == '"')) {
+        val e = s.indexOf(s.charAt(q), q + 1)
+        if (e >= 0) return (q.toLong << 32) | (e + 1).toLong
+        // unclosed quote: backtrack ws, then an '=' (see scaladoc)
+        if (q > eqEnd) return ((q - 1).toLong << 32) | (q - 1).toLong
+        if (eqEnd - eqStart >= 2) {
+          val st = eqEnd - 1
+          var b = st
+          while (b < n && { val c = s.charAt(b); c != '>' && !isWs(c) }) b += 1
+          return (st.toLong << 32) | b.toLong
+        }
+        -1L
+      } else {
+        val st = q
+        while (q < n && { val c = s.charAt(q); c != '>' && !isWs(c) }) q += 1
+        (st.toLong << 32) | q.toLong
+      }
+    }
+
+    /** tagfindTolerant at p: -1 if s(p) is not a letter, else packed
+      * (nameEnd, matchEnd).
+      */
+    def tagFind(s: String, n: Int, p: Int): Long = {
+      if (p >= n) return -1L
+      val c = s.charAt(p)
+      if (!((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) return -1L
+      var q = p + 1
+      while (q < n && isNameCh(s.charAt(q))) q += 1
+      (q.toLong << 32) | trailEnd(s, n, q).toLong
+    }
+
+    /** attrfindTolerant anchored at k (absolute lookbehind, as with
+      * transparent region bounds). Fills `out`; false = no match.
+      */
+    def attrFind(s: String, n: Int, k: Int, out: AttrResult): Boolean = {
+      if (k >= n || k <= 0) return false // lookbehind needs a preceding char
+      if (!isLookbehind(s.charAt(k - 1))) return false
+      val c0 = s.charAt(k)
+      if (isWs(c0) || c0 == '/' || c0 == '>') return false
+      out.nameStart = k
+      var q = k + 1
+      while (q < n && { val c = s.charAt(q); !isWs(c) && c != '/' && c != '=' && c != '>' }) q += 1
+      out.nameEnd = q
+      val v = valTry(s, n, q)
+      if (v >= 0L) {
+        out.hasValue = true
+        out.valStart = (v >>> 32).toInt
+        out.valEnd = v.toInt
+        q = out.valEnd
+      } else out.hasValue = false
+      out.end = trailEnd(s, n, q)
+      true
+    }
+
+    /** locatestarttagendTolerant end position at i (requires `<letter` at i,
+      * which the caller established via starttagopen). Always matches; only
+      * the end position is needed.
+      */
+    def startTagEnd(s: String, n: Int, i: Int): Int = {
+      var q = i + 2
+      while (q < n && isNameCh(s.charAt(q))) q += 1
+      // (?:[ws/]* ATTR*)? — initial run consumes ws AND bare slashes
+      var r = q
+      while (r < n && { val c = s.charAt(r); isWs(c) || c == '/' }) r += 1
+      var more = true
+      while (more) {
+        if (r >= n || !isLookbehind(s.charAt(r - 1))) more = false
+        else {
+          val c0 = s.charAt(r)
+          if (isWs(c0) || c0 == '/' || c0 == '>') more = false
+          else {
+            var r2 = r + 1
+            while (r2 < n && { val c = s.charAt(r2); !isWs(c) && c != '/' && c != '=' && c != '>' }) r2 += 1
+            val v = valTry(s, n, r2)
+            if (v >= 0L) {
+              r2 = v.toInt
+              // (?:[ws]*,)* — commit only through each matched comma
+              var go = true
+              while (go) {
+                var t = r2
+                while (t < n && isWs(s.charAt(t))) t += 1
+                if (t < n && s.charAt(t) == ',') r2 = t + 1 else go = false
+              }
+            }
+            r = trailEnd(s, n, r2)
+          }
+        }
+      }
+      // trailing [ws]* (already absorbed by the last TRAIL run; kept for the
+      // zero-attr shape where the initial [ws/]* stopped at a non-attr char)
+      while (r < n && isWs(s.charAt(r))) r += 1
+      r
+    }
+  }
+
+  /** Mutable result holder for [[FastScan.attrFind]] — one per parse call. */
+  private[html] final class AttrResult {
+    var nameStart = 0
+    var nameEnd = 0
+    var hasValue = false
+    var valStart = 0
+    var valEnd = 0
+    var end = 0
+  }
 
   /** Any char in (PySpace ∖ Java `\s`) forces the Unicode pattern set. Cheap:
     * ASCII text falls through in ≤3 compares per char.
@@ -144,7 +301,14 @@ object HtmlTokenizer {
     false
   }
 
-  def parse(rawdata: String, cb: HtmlEvents): Unit = {
+  def parse(rawdata: String, cb: HtmlEvents): Unit =
+    parse(rawdata, cb, useFastScan = true)
+
+  /** `useFastScan = false` forces the regex start-tag path even in the ASCII
+    * dialect — the differential hook FastScanSpec compares both paths on the
+    * same input.
+    */
+  private[html] def parse(rawdata: String, cb: HtmlEvents, useFastScan: Boolean): Unit = {
     val n = rawdata.length
     var i = 0
     var cdataElem: String = null
@@ -152,6 +316,9 @@ object HtmlTokenizer {
     // semantics-preserving dialect pick: see WsPatterns scaladoc
     val P = if (hasExoticWs(rawdata)) UnicodeP else AsciiP
     import P._
+    // hand-rolled start-tag scanning is exact only for the ASCII dialect
+    val fast = useFastScan && (P eq AsciiP)
+    val attrResult = if (fast) new AttrResult else null
 
     // One matcher per pattern per parse — region(...) resets between uses, so
     // the ~4 matchers/tag the loop would otherwise allocate are shared.
@@ -179,11 +346,16 @@ object HtmlTokenizer {
     // ---- parse_starttag + check_for_whole_start_tag -----------------------
     // returns endpos, or -1 ≡ "incomplete at buffer end"
     def checkForWholeStartTag(i: Int): Int = {
-      val m = mLocateEnd
-      m.region(i, n)
-      // Pattern.match from position: use lookingAt on region
-      if (m.lookingAt()) {
-        val j = m.end()
+      val j =
+        if (fast) FastScan.startTagEnd(rawdata, n, i) // always matches at `<letter`
+        else {
+          val m = mLocateEnd
+          m.region(i, n)
+          // Pattern.match from position: use lookingAt on region
+          if (!m.lookingAt()) return -1 // CPython asserts unreachable; stay lenient
+          m.end()
+        }
+      locally {
         val next = if (j < n) rawdata.charAt(j) else '\u0000'
         if (j < n && next == '>') return j + 1
         if (j < n && next == '/') {
@@ -195,45 +367,66 @@ object HtmlTokenizer {
           return -1
         if (j > i) return j
       }
-      -1 // CPython asserts unreachable; stay lenient
+      -1
     }
 
     def parseStarttag(i: Int): Int = {
       val endpos = checkForWholeStartTag(i)
       if (endpos < 0) return endpos
       var attrs = List.newBuilder[(String, Option[String])]
-      val tm = mTagfind
-      tm.region(i + 1, n)
-      if (!tm.lookingAt()) return endpos // unreachable per CPython assert
-      var k = tm.end()
-      val tag = tm.group(1).toLowerCase(java.util.Locale.ROOT)
+      var k = 0
+      var tag: String = null
+      if (fast) {
+        val tf = FastScan.tagFind(rawdata, n, i + 1) // first char is a letter
+        k = tf.toInt
+        tag = rawdata.substring(i + 1, (tf >>> 32).toInt).toLowerCase(java.util.Locale.ROOT)
+      } else {
+        val tm = mTagfind
+        tm.region(i + 1, n)
+        if (!tm.lookingAt()) return endpos // unreachable per CPython assert
+        k = tm.end()
+        tag = tm.group(1).toLowerCase(java.util.Locale.ROOT)
+      }
       if (!cb.wantsAllTags && !cb.tagFilter(tag) &&
         !CDATA_CONTENT_ELEMENTS.contains(tag)) {
         return endpos // links-only fast path: tag is irrelevant to every event
       }
+      // shared attr post-processing: `rest` null ⇔ the optional value group
+      // did not match (valueless attr → None)
+      def emitAttr(attrname: String, hasRest: Boolean, rawValue: String): Unit = {
+        var attrvalue = rawValue
+        var valueOpt: Option[String] = null
+        if (!hasRest) valueOpt = None
+        else {
+          if (attrvalue != null && attrvalue.length >= 2 &&
+            ((attrvalue.charAt(0) == '\'' && attrvalue.charAt(attrvalue.length - 1) == '\'') ||
+              (attrvalue.charAt(0) == '"' && attrvalue.charAt(attrvalue.length - 1) == '"')))
+            attrvalue = attrvalue.substring(1, attrvalue.length - 1)
+          // CPython: `if attrvalue: attrvalue = unescape(attrvalue)`
+          valueOpt = Some(if (attrvalue != null && attrvalue.nonEmpty) Entities.unescape(attrvalue) else attrvalue)
+        }
+        attrs += ((attrname.toLowerCase(java.util.Locale.ROOT), valueOpt))
+      }
       var attrsDone = false
       while (k < endpos && !attrsDone) {
-        val am = mAttrfind
-        am.region(k, n)
         // CPython uses match (anchored at k) with no region end, so quoted
-        // values may run past endpos; region end n reproduces that.
-        if (!am.lookingAt()) { attrsDone = true } // CPython: break, k unchanged
-        else {
-          val attrname = am.group(1)
-          val rest = am.group(2)
-          var attrvalue = am.group(3)
-          var valueOpt: Option[String] = null
-          if (rest == null) valueOpt = None
+        // values may run past endpos; scanning to n reproduces that.
+        if (fast) {
+          val ar = attrResult
+          if (!FastScan.attrFind(rawdata, n, k, ar)) attrsDone = true
           else {
-            if (attrvalue != null && attrvalue.length >= 2 &&
-              ((attrvalue.charAt(0) == '\'' && attrvalue.charAt(attrvalue.length - 1) == '\'') ||
-                (attrvalue.charAt(0) == '"' && attrvalue.charAt(attrvalue.length - 1) == '"')))
-              attrvalue = attrvalue.substring(1, attrvalue.length - 1)
-            // CPython: `if attrvalue: attrvalue = unescape(attrvalue)`
-            valueOpt = Some(if (attrvalue != null && attrvalue.nonEmpty) Entities.unescape(attrvalue) else attrvalue)
+            emitAttr(rawdata.substring(ar.nameStart, ar.nameEnd), ar.hasValue,
+              if (ar.hasValue) rawdata.substring(ar.valStart, ar.valEnd) else null)
+            k = ar.end
           }
-          attrs += ((attrname.toLowerCase(java.util.Locale.ROOT), valueOpt))
-          k = am.end()
+        } else {
+          val am = mAttrfind
+          am.region(k, n)
+          if (!am.lookingAt()) attrsDone = true // CPython: break, k unchanged
+          else {
+            emitAttr(am.group(1), am.group(2) != null, am.group(3))
+            k = am.end()
+          }
         }
       }
       val endText = pyStrip(rawdata.substring(math.min(k, endpos), endpos))
