@@ -14,10 +14,23 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingBench {
 
+  /** Hypervisor steal jiffies (field 8 of /proc/stat's cpu line) — printed
+    * per rep so a contaminated measurement window is visible in the record.
+    */
+  private def stealJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else 0L
+      } finally src.close()
+    } catch { case _: Exception => 0L }
+
   def main(args: Array[String]): Unit = {
     val cores = if (args.nonEmpty) args(0).toInt else 32
     val nPages = if (args.length > 1) args(1).toLong else 200000L
     val mode = if (args.length > 2) args(2) else "steady"
+    val reps = if (args.length > 3) args(3).toInt else 3
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
@@ -33,11 +46,13 @@ object ScalingBench {
       case _ => Bench.steadyKernel(spark, n, cores)
     }
     once(20000L) // JIT/codegen warmup
-    // best-of-3: the sandbox VM shows CPU-steal noise; min is the least
+    // best-of-N: the sandbox VM shows CPU-steal noise; min is the least
     // contaminated estimate of true cost
-    val runs = (1 to 3).map { i =>
+    val runs = (1 to reps).map { i =>
+      val s0 = stealJiffies()
       val r = once(nPages)
-      println(f"""{"metric":"scaling_rep","mode":"$mode","cores":$cores,"rep":$i,"sec":${r._1}%.2f}""")
+      val steal = stealJiffies() - s0
+      println(f"""{"metric":"scaling_rep","mode":"$mode","cores":$cores,"rep":$i,"sec":${r._1}%.2f,"steal_jiffies":$steal}""")
       r
     }
     val (sec, scheduled) = runs.minBy(_._1)

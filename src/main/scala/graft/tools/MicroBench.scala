@@ -30,8 +30,8 @@ object MicroBench {
       th.start(); th
     }
     ts.foreach(_.join())
-    val per32 = (System.nanoTime() - t0) / 1e3 / (n * 4) * threads
-    println(f"MICRO extract 32-thread: $per32%.1f us-core/page (${counter.get()})")
+    val perCore = (System.nanoTime() - t0) / 1e3 / (n * 4) * threads
+    println(f"MICRO extract $threads%d-thread: $perCore%.1f us-core/page (${counter.get()})")
     val base = "https://h7.example.com/p/12345"
     val hrefs = Array("/p/999", "../x?q=1#f", "https://h3.example.com/p/7")
     t0 = System.nanoTime()
