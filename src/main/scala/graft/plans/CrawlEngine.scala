@@ -380,10 +380,16 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       // 4. links delta (O-10): append this epoch's per-epoch-distinct links;
       // the global distinct is taken once at read time (distinct of unions ==
       // union of distincts for set semantics) — avoids an O(|links|) anti-join
-      // shuffle per epoch.
-      val lState = store.writeDelta("links", epoch, cleanLinks,
-        Some(snapshot.tables("links")))
-      lap("links_write")
+      // shuffle per epoch. Runs on its own action thread, OVERLAPPED with the
+      // gates/frontier chain below: the two consumers share the persisted
+      // cleanLinks cache (per-partition block locking makes the concurrent
+      // materialization safe), and lState is only needed at commit. At small
+      // epochs this halves the per-epoch fixed job latency; at scale the two
+      // jobs pipeline on free task slots.
+      val lStateF = Future {
+        store.writeDelta("links", epoch, cleanLinks, Some(snapshot.tables("links")))
+      }
+      lap("links_write_launch")
 
       // 5. in-domain + robots gates
       val inDom = cleanLinks
@@ -426,20 +432,32 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         .groupBy(col("url"), col("host"))
         .agg(min(col("priority")).as("priority"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // BASELINE.json metric numerator (URLs scheduled + entering dedup).
+      // Counting FIRST materializes the candidates cache, so the fixpoint
+      // epoch (0 candidates) skips the sketch merge, anti-join, and probe
+      // below entirely, and the frontier write of a non-empty epoch scans
+      // the cache instead of recomputing. (An observe() on the candidates
+      // plan would not surface through the cache boundary —
+      // InMemoryRelation swallows the CollectMetrics node.)
+      val candidatesIn = candidates.count()
+      lap("candidates_count")
       val visitedAll = visitedSoFar.select("url")
         .union(fetchNow.select("url"))
       val seenCountNow = visitedRows + frontierCount // upper bound estimate
-      if (sketchActive) mergeIntoSketch(fetchNow) // maintain full coverage
-      else if (seenCountNow >= config.bloomMinSeen) {
-        mergeIntoSketch(visitedAll) // first activation: cover ALL seen urls
-        sketchActive = true
+      if (candidatesIn > 0) {
+        if (sketchActive) mergeIntoSketch(fetchNow) // maintain full coverage
+        else if (seenCountNow >= config.bloomMinSeen) {
+          mergeIntoSketch(visitedAll) // first activation: cover ALL seen urls
+          sketchActive = true
+        }
       }
       val bloomBcast =
-        if (sketchActive && !fileProbe && !useCuckoo)
+        if (candidatesIn > 0 && sketchActive && !fileProbe && !useCuckoo)
           spark.sparkContext.broadcast(seenSketch)
         else null
       val cuckooBcast =
-        if (sketchActive && useCuckoo) spark.sparkContext.broadcast(seenCuckoo)
+        if (candidatesIn > 0 && sketchActive && useCuckoo)
+          spark.sparkContext.broadcast(seenCuckoo)
         else null
       val probe: Option[DataFrame => DataFrame] =
         if (!sketchActive) None
@@ -447,32 +465,30 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         else if (useCuckoo)
           Some(df => df.withColumn("maybe_seen", cuckoo_might_contain(cuckooBcast, col("url"))))
         else Some(df => df.withColumn("maybe_seen", bloom_might_contain(bloomBcast, col("url"))))
-      val deduped = dedupAgainst(candidates, visitedAll, probe)
       // deduped is already hash-partitioned by url (dropDuplicates/anti-join
       // shuffles); writing it directly keeps that distribution in the files
-      // and lets AQE coalesce small epochs to few files.
+      // and lets AQE coalesce small epochs to few files. The fixpoint epoch
+      // (0 candidates) writes the empty delta without the join machinery.
       val next =
-        if (sState.totalRows > 0)
-          deduped.join(spark.read.parquet(sState.files: _*).select("url"),
-            Seq("url"), "left_anti")
-        else deduped
+        if (candidatesIn == 0) candidates
+        else {
+          val deduped = dedupAgainst(candidates, visitedAll, probe)
+          if (sState.totalRows > 0)
+            deduped.join(spark.read.parquet(sState.files: _*).select("url"),
+              Seq("url"), "left_anti")
+          else deduped
+        }
       val fState = store.writeDelta("frontier", epoch + 1, next,
         Some(snapshot.tables("frontier")), fullRewrite = true)
       lap("frontier_write")
       val vState = Await.result(vStateF, scala.concurrent.duration.Duration.Inf)
+      val lState = Await.result(lStateF, scala.concurrent.duration.Duration.Inf)
       lap("visited_join")
       // the per-epoch sketch broadcast is consumed only by the frontier
       // write above — release it so long crawls don't accumulate broadcast
       // state on the driver/executors
       if (bloomBcast != null) bloomBcast.destroy()
       if (cuckooBcast != null) cuckooBcast.destroy()
-      // BASELINE.json metric numerator (URLs scheduled + entering dedup),
-      // counted AFTER the frontier write so the job is a scan of the
-      // already-materialized cache, not a second upstream computation.
-      // (An observe() on the candidates plan does not surface through the
-      // cache boundary — InMemoryRelation swallows the CollectMetrics node.)
-      val candidatesIn = candidates.count()
-      lap("candidates_count")
 
       val wallMs = (System.nanoTime() - t0) / 1000000L
       snapshot = store.commit(epoch, Map(
