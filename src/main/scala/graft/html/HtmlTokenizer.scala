@@ -120,7 +120,7 @@ object HtmlTokenizer {
     * BitClass bitmap test (the fast path every ASCII-whitespace doc takes).
     */
   private[html] val AsciiP = new WsPatterns("\\t\\n\\x0B\\f\\r ")
-  private val UnicodeP = new WsPatterns(S)
+  private[html] val UnicodeP = new WsPatterns(S)
 
   /** Hand-rolled equivalents of the three ASCII-dialect start-tag patterns
     * (locatestarttagendTolerant / tagfindTolerant / attrfindTolerant), the
@@ -130,12 +130,19 @@ object HtmlTokenizer {
     * retry is the value alternation, where an unterminated quote fails ALL
     * branches (bare values can't start with a quote), i.e. the optional
     * value group just doesn't match. Equivalence is enforced by
-    * FastScanSpec's regex-vs-scanner differential fuzz (and the dialect
-    * gate: exotic-whitespace documents keep the regex path).
+    * FastScanSpec's regex-vs-scanner differential fuzz, per dialect.
+    *
+    * The scanner logic is whitespace-class-parametric (the three regexes
+    * differ ONLY by the `$ws` body), so both dialects take the fast path —
+    * [[FastScan.Ascii]] pairs with [[AsciiP]] and [[FastScan.Py]] (the full
+    * Python str-mode `\s`) with [[UnicodeP]]. Real-web HTML is full of
+    * U+00A0, so the exotic-whitespace dialect being fast matters at corpus
+    * scale; two singleton subclasses keep the isWs call site bimorphic.
     */
-  private[html] object FastScan {
-    @inline private def isWs(c: Char): Boolean = c == ' ' || (c >= 0x09 && c <= 0x0d)
-    // tag-name continuation [^\t\n\r\f />\x00] — NOTE \x0B (VT) IS allowed
+  private[html] sealed abstract class FastScan {
+    protected def isWs(c: Char): Boolean
+    // tag-name continuation [^\t\n\r\f />\x00] — NOTE \x0B (VT) IS allowed,
+    // and the class is the same in both dialects (written without $ws)
     @inline private def isNameCh(c: Char): Boolean =
       c != ' ' && c != '/' && c != '>' && c != 0x00 &&
         c != '\t' && c != '\n' && c != '\r' && c != '\f'
@@ -269,6 +276,19 @@ object HtmlTokenizer {
     }
   }
 
+  private[html] object FastScan {
+    /** Java-`\s` dialect scanner (pairs with [[AsciiP]]). */
+    object Ascii extends FastScan {
+      override protected def isWs(c: Char): Boolean =
+        c == ' ' || (c >= 0x09 && c <= 0x0d)
+    }
+
+    /** Python str-mode `\s` dialect scanner (pairs with [[UnicodeP]]). */
+    object Py extends FastScan {
+      override protected def isWs(c: Char): Boolean = isPySpace(c)
+    }
+  }
+
   /** Mutable result holder for [[FastScan.attrFind]] — one per parse call. */
   private[html] final class AttrResult {
     var nameStart = 0
@@ -316,8 +336,9 @@ object HtmlTokenizer {
     // semantics-preserving dialect pick: see WsPatterns scaladoc
     val P = if (hasExoticWs(rawdata)) UnicodeP else AsciiP
     import P._
-    // hand-rolled start-tag scanning is exact only for the ASCII dialect
-    val fast = useFastScan && (P eq AsciiP)
+    // hand-rolled start-tag scanning, specialized per whitespace dialect
+    val fast = useFastScan
+    val scanner = if (P eq AsciiP) FastScan.Ascii else FastScan.Py
     val attrResult = if (fast) new AttrResult else null
 
     // One matcher per pattern per parse — region(...) resets between uses, so
@@ -347,7 +368,7 @@ object HtmlTokenizer {
     // returns endpos, or -1 ≡ "incomplete at buffer end"
     def checkForWholeStartTag(i: Int): Int = {
       val j =
-        if (fast) FastScan.startTagEnd(rawdata, n, i) // always matches at `<letter`
+        if (fast) scanner.startTagEnd(rawdata, n, i) // always matches at `<letter`
         else {
           val m = mLocateEnd
           m.region(i, n)
@@ -377,7 +398,7 @@ object HtmlTokenizer {
       var k = 0
       var tag: String = null
       if (fast) {
-        val tf = FastScan.tagFind(rawdata, n, i + 1) // first char is a letter
+        val tf = scanner.tagFind(rawdata, n, i + 1) // first char is a letter
         k = tf.toInt
         tag = rawdata.substring(i + 1, (tf >>> 32).toInt).toLowerCase(java.util.Locale.ROOT)
       } else {
@@ -413,7 +434,7 @@ object HtmlTokenizer {
         // values may run past endpos; scanning to n reproduces that.
         if (fast) {
           val ar = attrResult
-          if (!FastScan.attrFind(rawdata, n, k, ar)) attrsDone = true
+          if (!scanner.attrFind(rawdata, n, k, ar)) attrsDone = true
           else {
             emitAttr(rawdata.substring(ar.nameStart, ar.nameEnd), ar.hasValue,
               if (ar.hasValue) rawdata.substring(ar.valStart, ar.valEnd) else null)

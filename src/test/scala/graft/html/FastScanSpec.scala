@@ -1,59 +1,65 @@
 package graft.html
 
-import java.nio.charset.StandardCharsets.UTF_8
-
 import scala.util.Random
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Differential gate for [[HtmlTokenizer.FastScan]]: the hand-rolled ASCII
+/** Differential gate for [[HtmlTokenizer.FastScan]]: the hand-rolled
   * start-tag scanners must be indistinguishable from the regex path on
-  * every input — function-level against the very patterns they replace, and
-  * parse-level over random tag soup plus every committed fixture.
+  * every input — function-level against the very patterns they replace
+  * (per whitespace dialect), and parse-level over random tag soup plus
+  * every committed fixture.
   */
 class FastScanSpec extends AnyFunSuite {
 
   // tag-soup alphabet, heavily weighted toward the structural chars the
   // patterns branch on (quotes, =, /, >, <, comma, every ASCII ws)
-  private val alphabet: Array[Char] =
-    ("aZ09" * 2 + "<<>>//==''\"\"  ,\t\n\f\r&;#!?-.[]").toCharArray
+  private val asciiAlphabet: Array[Char] =
+    ("aZ09" * 2 + "<<>>//==''\"\"  ,\t\n\f\r&;#!?-.[]").toCharArray
 
-  private def randString(r: Random, maxLen: Int): String = {
+  // adds the Python-\s-only chars (NBSP, NEL, FS, em space, ideographic
+  // space, line sep) that route parse() onto the Unicode dialect
+  private val exoticAlphabet: Array[Char] =
+    asciiAlphabet ++ Array('\u00a0', '\u0085', '\u001c', '\u2003', '\u3000', '\u2028')
+
+  private def randString(r: Random, alphabet: Array[Char], maxLen: Int): String = {
     val len = r.nextInt(maxLen)
     val sb = new java.lang.StringBuilder(len)
     (0 until len).foreach(_ => sb.append(alphabet(r.nextInt(alphabet.length))))
     sb.toString
   }
 
-  test("startTagEnd / tagFind / attrFind match the regexes they replace on 300k random strings") {
-    val P = HtmlTokenizer.AsciiP
-    val r = new Random(20260816L)
+  private def fuzzFunctions(dialect: String, P: HtmlTokenizer.WsPatterns,
+      scanner: HtmlTokenizer.FastScan, alphabet: Array[Char], trials: Int,
+      seed: Long): Unit = {
+    val r = new Random(seed)
     val out = new HtmlTokenizer.AttrResult
-    (0 until 300000).foreach { trial =>
+    (0 until trials).foreach { _ =>
       // force the anchor shape startTagEnd assumes: '<' + letter + soup
-      val s = "<" + (if (r.nextBoolean()) "a" else "A") + randString(r, 40)
+      val s = "<" + (if (r.nextBoolean()) "a" else "A") + randString(r, alphabet, 40)
       val n = s.length
 
       val mLoc = P.locatestarttagendTolerant.matcher(s)
       mLoc.useTransparentBounds(true)
       mLoc.region(0, n)
-      assert(mLoc.lookingAt(), s"locatestarttagend must match at <letter: ${s.take(60)}")
+      assert(mLoc.lookingAt(), s"[$dialect] locatestarttagend must match at <letter: ${escape(s)}")
       val expectEnd = mLoc.end()
-      val gotEnd = HtmlTokenizer.FastScan.startTagEnd(s, n, 0)
+      val gotEnd = scanner.startTagEnd(s, n, 0)
       assert(gotEnd == expectEnd,
-        s"startTagEnd $gotEnd != regex $expectEnd on ${escape(s)}")
+        s"[$dialect] startTagEnd $gotEnd != regex $expectEnd on ${escape(s)}")
 
       // tagFind anchored at 1 (the letter) and at a random position
       Seq(1, 1 + r.nextInt(math.max(1, n - 1))).foreach { p =>
         val mTag = P.tagfindTolerant.matcher(s)
         mTag.useTransparentBounds(true)
         mTag.region(p, n)
-        val got = HtmlTokenizer.FastScan.tagFind(s, n, p)
-        if (!mTag.lookingAt()) assert(got == -1L, s"tagFind matched where regex did not: ${escape(s)} @$p")
+        val got = scanner.tagFind(s, n, p)
+        if (!mTag.lookingAt())
+          assert(got == -1L, s"[$dialect] tagFind matched where regex did not: ${escape(s)} @$p")
         else {
-          assert(got != -1L, s"tagFind missed a regex match: ${escape(s)} @$p")
+          assert(got != -1L, s"[$dialect] tagFind missed a regex match: ${escape(s)} @$p")
           assert((got >>> 32).toInt == mTag.end(1) && got.toInt == mTag.end(),
-            s"tagFind bounds (${(got >>> 32).toInt},${got.toInt}) != regex (${mTag.end(1)},${mTag.end()}) on ${escape(s)} @$p")
+            s"[$dialect] tagFind bounds (${(got >>> 32).toInt},${got.toInt}) != regex (${mTag.end(1)},${mTag.end()}) on ${escape(s)} @$p")
         }
       }
 
@@ -62,23 +68,34 @@ class FastScanSpec extends AnyFunSuite {
       val mAttr = P.attrfindTolerant.matcher(s)
       mAttr.useTransparentBounds(true)
       mAttr.region(k, n)
-      val ok = HtmlTokenizer.FastScan.attrFind(s, n, k, out)
-      if (!mAttr.lookingAt()) assert(!ok, s"attrFind matched where regex did not: ${escape(s)} @$k")
+      val ok = scanner.attrFind(s, n, k, out)
+      if (!mAttr.lookingAt())
+        assert(!ok, s"[$dialect] attrFind matched where regex did not: ${escape(s)} @$k")
       else {
-        assert(ok, s"attrFind missed a regex match: ${escape(s)} @$k")
+        assert(ok, s"[$dialect] attrFind missed a regex match: ${escape(s)} @$k")
         assert(s.substring(out.nameStart, out.nameEnd) == mAttr.group(1),
-          s"attr name mismatch on ${escape(s)} @$k")
+          s"[$dialect] attr name mismatch on ${escape(s)} @$k")
         val expectVal = mAttr.group(3)
         if (mAttr.group(2) == null)
-          assert(!out.hasValue, s"attrFind found a value where regex did not: ${escape(s)} @$k")
+          assert(!out.hasValue, s"[$dialect] attrFind found a value where regex did not: ${escape(s)} @$k")
         else {
-          assert(out.hasValue, s"attrFind missed a value: ${escape(s)} @$k")
+          assert(out.hasValue, s"[$dialect] attrFind missed a value: ${escape(s)} @$k")
           assert(s.substring(out.valStart, out.valEnd) == expectVal,
-            s"attr value mismatch: '${s.substring(out.valStart, out.valEnd)}' != '$expectVal' on ${escape(s)} @$k")
+            s"[$dialect] attr value mismatch: '${escape(s.substring(out.valStart, out.valEnd))}' != '${escape(expectVal)}' on ${escape(s)} @$k")
         }
-        assert(out.end == mAttr.end(), s"attrFind end ${out.end} != regex ${mAttr.end()} on ${escape(s)} @$k")
+        assert(out.end == mAttr.end(), s"[$dialect] attrFind end ${out.end} != regex ${mAttr.end()} on ${escape(s)} @$k")
       }
     }
+  }
+
+  test("ascii dialect: scanners match the regexes they replace on 300k random strings") {
+    fuzzFunctions("ascii", HtmlTokenizer.AsciiP, HtmlTokenizer.FastScan.Ascii,
+      asciiAlphabet, 300000, 20260816L)
+  }
+
+  test("py-\\s dialect: scanners match the Unicode regexes on 300k exotic-ws strings") {
+    fuzzFunctions("py", HtmlTokenizer.UnicodeP, HtmlTokenizer.FastScan.Py,
+      exoticAlphabet, 300000, 20260817L)
   }
 
   /** Event recorder for whole-parse comparison. */
@@ -102,10 +119,19 @@ class FastScanSpec extends AnyFunSuite {
     e.log.result()
   }
 
-  test("whole-parse differential: 60k random docs produce identical event streams") {
+  test("whole-parse differential: 60k random ascii docs produce identical event streams") {
     val r = new Random(42L)
     (0 until 60000).foreach { _ =>
-      val doc = randString(r, 120)
+      val doc = randString(r, asciiAlphabet, 120)
+      assert(eventsOf(doc, fastScan = true) == eventsOf(doc, fastScan = false),
+        s"event divergence on ${escape(doc)}")
+    }
+  }
+
+  test("whole-parse differential: 60k random exotic-ws docs produce identical event streams") {
+    val r = new Random(43L)
+    (0 until 60000).foreach { _ =>
+      val doc = randString(r, exoticAlphabet, 120)
       assert(eventsOf(doc, fastScan = true) == eventsOf(doc, fastScan = false),
         s"event divergence on ${escape(doc)}")
     }
