@@ -150,6 +150,11 @@ class FrontierSpec extends AnyFunSuite {
     checkScenario("astral")
   }
 
+  test("fuzz sites: seeded-random graphs with mixed budget/robots/priority/" +
+    "seed-count, messy href spellings, and NBSP attribute separators") {
+    Seq("fuzz1", "fuzz2", "fuzz3", "fuzz4").foreach(checkScenario)
+  }
+
   test("saveLinksSharded: part files concatenate to the parity links.txt bytes") {
     val (result, _) = runScenario("basic")
     val out = Files.createTempDirectory("graft-sharded-").toString + "/links"

@@ -374,6 +374,94 @@ def site_astral():
     return d, pages, 1
 
 
+def make_fuzz_site(seed):
+    """Seeded-random site: random graph over 3 in-domain hosts + quirk hosts,
+    messy href spellings (relative, protocol-relative, ;params, fragments,
+    entity-encoded queries, empty href, mailto noise), random budget /
+    robots / depth-priority / seed count. Every href form is validated by
+    urljoin+clean against its intended target so the graph is well-defined;
+    some anchors use NBSP attribute separators (Python-\\s tag whitespace),
+    exercising the engine's exotic-whitespace tokenizer dialect in-crawl.
+    """
+    import random
+    r = random.Random(seed)
+    d = "example.com"
+    hosts = [d, f"sub.{d}", f"h2.{d}"]
+    quirks = ["evilexample.com/super",       # superstring host → IN domain
+              "other.org/ext",               # off-domain
+              f"{d}:8443/port"]              # port → endswith fails
+    n = r.randint(14, 22)
+    targets = []
+    for i in range(n):
+        h = r.choice(hosts)
+        kind = r.random()
+        if kind < 0.3:
+            path = f"/p{i}"
+        elif kind < 0.5:
+            path = f"/dir{i % 3}/p{i}"
+        elif kind < 0.7:
+            path = f"/q{i}?a=1&b={i}"
+        else:
+            path = f"/p{i} sp"              # space kept verbatim in path
+        targets.append(f"https://{h}{path}")
+    dead = [f"https://{d}/dead{i}" for i in range(2)]
+
+    def clean(u):
+        p = urlparse(u)
+        c = f"{p.scheme}://{p.netloc}{p.path}"
+        return c + (f"?{p.query}" if p.query else "")
+
+    def spell(page_url, target):
+        """A random href string that cleans to `target` from `page_url`."""
+        p = urlparse(target)
+        cands = [target,
+                 "//" + p.netloc + p.path + (f"?{p.query}" if p.query else ""),
+                 target + "#frag%d" % r.randint(0, 9)]
+        if urlparse(page_url).netloc == p.netloc:
+            rel = p.path + (f"?{p.query}" if p.query else "")
+            cands += [rel, rel + "#f"]
+            if "?" not in rel and " " not in rel:
+                cands.append(rel + ";param")   # ;params stripped by clean
+        if p.query:
+            cands.append(target.replace("&", "&amp;"))  # entity-decoded attr
+        href = r.choice(cands)
+        return href if clean(urljoin(page_url, href)) == target else target
+
+    pages = {}
+    for t in targets:
+        out = r.sample(targets, k=min(len(targets), r.randint(0, 5)))
+        hrefs = [spell(t, o) for o in out]
+        if r.random() < 0.25:
+            hrefs.append(r.choice(dead))
+        if r.random() < 0.3:
+            hrefs.append("https://" + r.choice(quirks))
+        if r.random() < 0.2:
+            hrefs.append(r.choice(["mailto:a@b.c", "javascript:void(0)", ""]))
+        r.shuffle(hrefs)
+        # some anchors use NBSP/em-space as the attr separator (Python \s)
+        sep_anchors = "".join(
+            f'<a\u00a0href="{h}"\u2003id="x">l</a>' if r.random() < 0.3
+            else f'<a href="{h}">l</a>' for h in hrefs)
+        pages[t] = (f'<html><head><meta charset="utf-8"></head>'
+                    f"<body>{sep_anchors}</body></html>").encode("utf-8")
+    # seeds: root always exists; maybe a second-island seed
+    pages[f"https://{d}"] = page([spell(f"https://{d}", t)
+                                  for t in r.sample(targets, k=min(4, len(targets)))])
+    seeds = [f"https://{d}"]
+    if r.random() < 0.5:
+        seeds.append(r.choice([t for t in targets if " " not in t]))
+    if r.random() < 0.6:
+        prefixes = sorted({urlparse(t).path[:r.randint(2, 6)]
+                           for t in r.sample(targets, k=3)})
+        lines = ["User-agent: *"]
+        for pref in prefixes:
+            lines.append(("Allow: " if r.random() < 0.3 else "Disallow: ") + pref)
+        pages[f"https://{r.choice(hosts)}/robots.txt"] = "\n".join(lines).encode()
+    budget = r.choice([None, 1, 2, 3])
+    depth_priority = budget is not None and r.random() < 0.5
+    return d, pages, budget, seeds, depth_priority
+
+
 def main():
     scenarios = {
         "basic": site_basic,
@@ -385,6 +473,8 @@ def main():
         "priority": site_priority,
         "astral": site_astral,
     }
+    for i, seed in enumerate([1001, 1002, 1003, 1004], start=1):
+        scenarios[f"fuzz{i}"] = (lambda s: (lambda: make_fuzz_site(s)))(seed)
     for name, builder in scenarios.items():
         out_tuple = builder()
         depth_priority = False
