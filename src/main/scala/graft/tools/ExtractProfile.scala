@@ -65,5 +65,28 @@ object ExtractProfile {
     time("extract e2e", 3) { () =>
       var a = 0L; htmls.foreach(h => a += HtmlExtract.extract(h)._2.length); a
     }
+
+    // threaded phase scaling: is the 32-thread ceiling the scan or the
+    // decode's char[] traffic? (MicroBench gives only whole-pipeline.)
+    def threaded(label: String, threads: Int)(work: Int => Long): Unit = {
+      val counter = new java.util.concurrent.atomic.AtomicLong()
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { t =>
+        val th = new Thread(() => {
+          var i = t
+          var acc = 0L
+          while (i < n * 2) { acc += work(i % n); i += threads }
+          counter.addAndGet(acc)
+        })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      val perCore = (System.nanoTime() - t0) / 1e3 / (n * 2) * threads
+      println(f"PROF $label%-22s $perCore%8.2f us-core/page @${threads}t (${counter.get()})")
+    }
+    Seq(1, 32).foreach { t =>
+      threaded(s"decode", t)(i => HtmlExtract.decode(htmls(i)).length.toLong)
+      threaded(s"linksonly e2e", t)(i => HtmlExtract.extractLinks(htmls(i)).size.toLong)
+    }
   }
 }
