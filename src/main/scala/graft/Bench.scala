@@ -97,8 +97,9 @@ object Bench {
 
   /** Single-thread fixed-work CPU probe (page extraction, µs/page). The VM
     * shows 2-7× CPU steal at times (BASELINE.md); this calibrates whether a
-    * given run was taken on a noisy box. ~85 µs/page is the idle-box
-    * reference (MicroBench, BASELINE.md measured section).
+    * given run was taken on a noisy box. ~16 µs/page is the idle-box
+    * reference on the round-3 scanner engine (quiet-window probes measured
+    * 15.8/17.6; recalibrated from 85 after the FastScan tokenizer work).
     */
   def stealProbe(): Double = {
     val n = 2000
@@ -113,7 +114,7 @@ object Bench {
     (System.nanoTime() - t0) / 1e3 / n
   }
 
-  private val IDLE_PROBE_US = 85.0
+  private val IDLE_PROBE_US = 16.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -94,6 +94,46 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("fetch join reuses the cached pages partitioning: html is never re-shuffled") {
+    // the Bench/CrawlEngine fetch shape: pages cached pre-partitioned by the
+    // join key, frontier keys repartitioned to match — the pages (html) side
+    // must show NO Exchange of its own; the single Exchange in the plan is
+    // the (small) keys side. This is the single biggest lever at 100 TB: a
+    // regression here re-shuffles the whole html column every epoch.
+    val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    // at scale the frontier side exceeds any broadcast threshold — force the
+    // shuffle-join shape the property is about
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(concat(lit("https://example.com/d/"), col("doc_id")).as("url"),
+          col("text").as("html"))
+        .repartition(8, col("url"))
+        .persist()
+      pages.count()
+      val keys = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 100)
+        .select(concat(lit("https://example.com/d/"), col("doc_id")).as("url"))
+        .repartition(8, col("url"))
+      val plan = formatted(pages.join(keys, Seq("url")))
+      // the pages subtree is everything above the InMemoryRelation dump (the
+      // cached relation prints its own stored plan, whose build-time Exchange
+      // does not count); an Exchange THERE means html is being re-shuffled
+      val pagesSide = plan.linesIterator
+        .takeWhile(!_.contains("InMemoryRelation")).mkString("\n")
+      val pagesExchanges = pagesSide.linesIterator.count(_.matches(".*\\bExchange\\b.*"))
+      assert(pagesExchanges == 0,
+        s"pages (html) side must reuse the cached partitioning, found $pagesExchanges Exchange(s):\n$plan")
+      assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"), plan)
+      pages.unpersist()
+    } finally {
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
+
   test("extraction chain stays in one codegen span (no UDF boundary)") {
     import graft.html.htmlfns._
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
