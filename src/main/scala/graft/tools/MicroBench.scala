@@ -41,5 +41,14 @@ object MicroBench {
       if (PyUrl.scheme(j) == "https") m += PyUrl.cleanUrl(j).length
     }
     println(f"MICRO url chain: ${(System.nanoTime() - t0) / 1e3 / 200000}%.2f us/link ($m)")
+    // the engine's actual per-link kernel (fused + fast-path classified)
+    (0 until 100000).foreach(i => PyUrl.resolveClean(base, hrefs(i % 3)))
+    t0 = System.nanoTime()
+    var m2 = 0
+    (0 until 400000).foreach { i =>
+      val c = PyUrl.resolveClean(base, hrefs(i % 3))
+      if (c != null) m2 += c.length
+    }
+    println(f"MICRO resolveClean: ${(System.nanoTime() - t0) / 1e3 / 400000}%.2f us/link ($m2)")
   }
 }

@@ -197,13 +197,140 @@ object PyUrl {
     * scheme∈{http,https} filter, clean rebuild. Returns null when filtered —
     * byte-identical to scheme/cleanUrl over urljoin, with one parse of the
     * joined URL instead of three (the reference also parses once).
+    *
+    * The two href shapes that dominate real link graphs — absolute
+    * `http(s)://…` and absolute-path `/…` — take a zero-Buffer fast path
+    * ([[resolveCleanFast]]); anything it cannot PROVE equivalent falls back
+    * to the full urljoin machinery. Equivalence is differential-fuzzed
+    * (UrlExprSpec) in the FastScanSpec style.
     */
   def resolveClean(base: String, href: String): String = {
+    val fast = resolveCleanFast(base, href)
+    if (fast != null) fast else resolveCleanFull(base, href)
+  }
+
+  private[url] def resolveCleanFull(base: String, href: String): String = {
     val joined = urljoin(base, href)
     val p = urlparse(joined, "")
     if (p.scheme != "http" && p.scheme != "https") return null
     val b = p.scheme + "://" + p.netloc + p.path
     if (p.query.nonEmpty) b + "?" + p.query else b
+  }
+
+  /** Fast path; null = "not applicable, use the full path" (never a filtered
+    * verdict — both handled shapes end in scheme http/https, which passes).
+    *
+    * Shape A (absolute http(s) href): urljoin either returns the href
+    * unchanged (foreign/unequal scheme) or reassembles it verbatim
+    * (equal scheme, non-empty netloc → urlunparse with unmodified parts) —
+    * either way the final clean is a pure function of the href's own
+    * components, so base never matters. Dot segments are NOT removed by
+    * urljoin on this shape (netloc short-circuit precedes the path merge).
+    *
+    * Shape B (absolute-path href, base a lowercase http(s) URL with a
+    * non-empty netloc): the merged path is the href path itself, and with
+    * no "." or ".." segments the dot-removal pass is the identity, so the
+    * clean is base-scheme://base-netloc + href-path-sans-params + ?query.
+    * Any "/." occurrence (covers /./, /../, trailing variants) bails.
+    *
+    * Both shapes bail on any character `sanitize` would strip (leading
+    * control/space, embedded tab/CR/LF) so the full path keeps those cases.
+    */
+  private[url] def resolveCleanFast(base: String, href: String): String = {
+    val n = href.length
+    if (n == 0 || href.charAt(0) <= ' ') return null
+    var i = 0
+    while (i < n) {
+      val c = href.charAt(i)
+      if (c == '\t' || c == '\r' || c == '\n') return null
+      i += 1
+    }
+    if (href.startsWith("https://")) absClean(href, 8, "https")
+    else if (href.startsWith("http://")) absClean(href, 7, "http")
+    else if (href.charAt(0) == '/' && (n == 1 || href.charAt(1) != '/'))
+      absPathClean(base, href)
+    else null
+  }
+
+  /** netloc end: first of / ? # at or after `from` (CPython _splitnetloc). */
+  @inline private def netlocEnd(s: String, from: Int, end: Int): Int = {
+    var k = from
+    while (k < end) {
+      val c = s.charAt(k)
+      if (c == '/' || c == '?' || c == '#') return k
+      k += 1
+    }
+    end
+  }
+
+  /** scheme://netloc + path-sans-params (+ ?query) from href[schemeLen..). */
+  private def absClean(href: String, schemeLen: Int, scheme: String): String = {
+    val n = href.length
+    val delim = netlocEnd(href, schemeLen, n)
+    if (delim == schemeLen) return null // empty authority → full path
+    val hash = href.indexOf('#', delim)
+    val end = if (hash >= 0) hash else n
+    var qpos = href.indexOf('?', delim)
+    if (qpos >= end) qpos = -1
+    val pathEnd = if (qpos >= 0) qpos else end
+    // _splitparams: ';' at or after the last '/' of the path (path is either
+    // empty or starts with '/', so lastIndexOf is always within the path)
+    var semi = -1
+    if (pathEnd > delim) {
+      val lastSlash = href.lastIndexOf('/', pathEnd - 1)
+      if (lastSlash >= delim) {
+        semi = href.indexOf(';', lastSlash)
+        if (semi >= pathEnd) semi = -1
+      }
+    }
+    val cut = if (semi >= 0) semi else pathEnd
+    val sb = new java.lang.StringBuilder(cut - schemeLen + scheme.length + 4 + (end - pathEnd))
+    sb.append(scheme).append("://").append(href, schemeLen, cut)
+    if (qpos >= 0 && qpos + 1 < end) sb.append('?').append(href, qpos + 1, end)
+    sb.toString
+  }
+
+  /** base-scheme://base-netloc + href-path-sans-params (+ ?query). */
+  private def absPathClean(base: String, href: String): String = {
+    val bSchemeLen =
+      if (base.startsWith("https://")) 8
+      else if (base.startsWith("http://")) 7
+      else return null
+    val bn = base.length
+    val bDelim = netlocEnd(base, bSchemeLen, bn)
+    if (bDelim == bSchemeLen) return null // empty base authority
+    // base must survive sanitize unchanged in [0, bDelim)
+    var i = 0
+    while (i < bDelim) {
+      val c = base.charAt(i)
+      if (c == '\t' || c == '\r' || c == '\n') return null
+      i += 1
+    }
+    val n = href.length
+    val hash = href.indexOf('#')
+    val end = if (hash >= 0) hash else n
+    var qpos = href.indexOf('?')
+    if (qpos >= end) qpos = -1
+    val pathEnd = if (qpos >= 0) qpos else end
+    // any "/." in the path → possible dot segment → full path
+    var k = 0
+    while (k + 1 < pathEnd) {
+      if (href.charAt(k) == '/' && href.charAt(k + 1) == '.') return null
+      k += 1
+    }
+    if (pathEnd == 0) return null // href was all-fragment/query: base-relative
+    var semi = -1
+    val lastSlash = href.lastIndexOf('/', pathEnd - 1)
+    semi = href.indexOf(';', math.max(lastSlash, 0))
+    if (semi >= pathEnd) semi = -1
+    val cut = if (semi >= 0) semi else pathEnd
+    if (cut == 0) return null // path reduced to empty → base-query branch
+    val scheme = if (bSchemeLen == 8) "https" else "http"
+    val sb = new java.lang.StringBuilder(bDelim + cut + (end - pathEnd) + 1)
+    sb.append(scheme).append("://").append(base, bSchemeLen, bDelim)
+      .append(href, 0, cut)
+    if (qpos >= 0 && qpos + 1 < end) sb.append('?').append(href, qpos + 1, end)
+    sb.toString
   }
 
   /** crawler.py:37-38 — scheme of the (joined) URL; lowercased by urlparse. */

@@ -110,6 +110,46 @@ class UrlExprSpec extends AnyFunSuite {
     forAll(urlGen) { u => assert(PyUrl.urljoin(u, "") == u) }
   }
 
+  test("resolveClean fast path == full path on 400k random (base, href) pairs") {
+    // atoms biased toward the structural chars the fast path classifies on,
+    // including the sanitize set (\t\r\n, leading space) and dot segments
+    val atoms = Array(
+      "https://", "http://", "HTTP://", "//", "/", "./", "../", "/..", "/.",
+      "a", "b9", "Ex.COM", "h:8080", ":8080", "?q=1&a", "#f", ";p", "?", "#",
+      ";", ":", "mailto:x@y", "\t", " ", "\n", "%20", "u@", "[::1]", "x y", ".")
+    val r = new scala.util.Random(20260816L)
+    def rand(): String =
+      (0 until r.nextInt(6)).map(_ => atoms(r.nextInt(atoms.length))).mkString
+    var fastHits = 0
+    def check(base: String, href: String): Unit = {
+      val fast = PyUrl.resolveCleanFast(base, href)
+      if (fast != null) {
+        fastHits += 1
+        val full = PyUrl.resolveCleanFull(base, href)
+        assert(fast == full,
+          s"fast '$fast' != full '$full' for base='$base' href='$href'")
+      }
+    }
+    (0 until 400000).foreach(_ => check(rand(), rand()))
+    // structured pass: well-formed-ish shapes where the fast path applies,
+    // with the suffix soup probing every classification boundary
+    val scheme = Array("https://", "http://", "HTTPS://", "https:/", "")
+    val hostA = Array("Ex.COM:8080", "h", "u@h:1", "[::1]:8", "", "h\th")
+    val pathA = Array("", "/", "/a/b", "/a;p/b;q", "/a//b/", "/a/./b", "/..",
+      "/p?x=1;y", "/p#f;g", "/%20", "/a?", "/a#", "/x y")
+    (0 until 100000).foreach { _ =>
+      val base = scheme(r.nextInt(scheme.length)) + hostA(r.nextInt(hostA.length)) +
+        pathA(r.nextInt(pathA.length))
+      val href =
+        if (r.nextBoolean())
+          scheme(r.nextInt(scheme.length)) + hostA(r.nextInt(hostA.length)) +
+            pathA(r.nextInt(pathA.length))
+        else pathA(r.nextInt(pathA.length)) + pathA(r.nextInt(pathA.length))
+      check(base, href)
+    }
+    assert(fastHits > 30000, s"fast path exercised only $fastHits times")
+  }
+
   test("netloc suffix-match quirks (SURVEY.md §A.3)") {
     assert(!PyUrl.inDomain("https://example.com:443/", "example.com"))
     assert(PyUrl.inDomain("https://evilexample.com/", "example.com"))
