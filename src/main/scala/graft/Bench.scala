@@ -18,6 +18,11 @@ import graft.synth.SiteGen
   */
 object Bench {
 
+  /** Warehouse of the most recent kernel run (ScalingBench reads its
+    * per-epoch ms_* step metrics back for the step_ms diagnostic lines).
+    */
+  @volatile var lastWarehouse: Option[String] = None
+
   def crawlKernel(spark: SparkSession, nPages: Long, partitions: Int): (Double, Long, Long) = {
     val domain = "example.com"
     // pages cached pre-partitioned by the join key: the fetch join then only
@@ -31,6 +36,7 @@ object Bench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pages.count() // materialize generation outside the timed window
     val wh = Files.createTempDirectory("graft-bench-").toString
+    lastWarehouse = Some(wh)
     val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     val t0 = System.nanoTime()
@@ -67,6 +73,7 @@ object Bench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pages.count()
     val wh = Files.createTempDirectory("graft-steady-").toString
+    lastWarehouse = Some(wh)
     // bootstrap snapshot: frontier = every page URL (the steady-state shape)
     val store = new SnapshotStore(spark, wh)
     val frontier0 = pages.select(col("url"),

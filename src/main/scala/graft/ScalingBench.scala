@@ -59,6 +59,20 @@ object ScalingBench {
     val thr = scheduled / sec
     println(
       f"""{"metric":"scaling_point","mode":"$mode","cores":$cores,"n_pages":$nPages,"urls_per_sec":$thr%.1f,"sec":$sec%.2f,"scheduled":$scheduled}""")
+    // per-step laps of the last run's epoch(s) (CrawlEngine stamps ms_* into
+    // each snapshot's metrics) — where the wall time went, for plan tuning
+    Bench.lastWarehouse.foreach { wh =>
+      val store = new graft.snapshot.SnapshotStore(spark, wh)
+      store.latest().foreach { last =>
+        (0 to last.epoch).foreach { e =>
+          store.snapshotAt(e).foreach { s =>
+            val steps = s.metrics.filter(_._1.startsWith("ms_")).toSeq.sortBy(_._1)
+              .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+            println(s"""{"metric":"step_ms","epoch":$e,"wall_ms":${s.metrics.getOrElse("wall_ms", -1L)},$steps}""")
+          }
+        }
+      }
+    }
     spark.stop()
   }
 }
