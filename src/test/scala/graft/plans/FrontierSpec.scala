@@ -152,7 +152,7 @@ class FrontierSpec extends AnyFunSuite {
 
   test("fuzz sites: seeded-random graphs with mixed budget/robots/priority/" +
     "seed-count, messy href spellings, and NBSP attribute separators") {
-    Seq("fuzz1", "fuzz2", "fuzz3", "fuzz4").foreach(checkScenario)
+    Seq("fuzz1", "fuzz2", "fuzz3", "fuzz4", "fuzz5", "fuzz6").foreach(checkScenario)
   }
 
   test("saveLinksSharded: part files concatenate to the parity links.txt bytes") {

@@ -374,7 +374,7 @@ def site_astral():
     return d, pages, 1
 
 
-def make_fuzz_site(seed):
+def make_fuzz_site(seed, lo=14, hi=22):
     """Seeded-random site: random graph over 3 in-domain hosts + quirk hosts,
     messy href spellings (relative, protocol-relative, ;params, fragments,
     entity-encoded queries, empty href, mailto noise), random budget /
@@ -390,7 +390,7 @@ def make_fuzz_site(seed):
     quirks = ["evilexample.com/super",       # superstring host → IN domain
               "other.org/ext",               # off-domain
               f"{d}:8443/port"]              # port → endswith fails
-    n = r.randint(14, 22)
+    n = r.randint(lo, hi)
     targets = []
     for i in range(n):
         h = r.choice(hosts)
@@ -475,6 +475,9 @@ def main():
     }
     for i, seed in enumerate([1001, 1002, 1003, 1004], start=1):
         scenarios[f"fuzz{i}"] = (lambda s: (lambda: make_fuzz_site(s)))(seed)
+    # two larger graphs: deeper BFS under small budgets, more epochs
+    scenarios["fuzz5"] = lambda: make_fuzz_site(1005, lo=40, hi=60)
+    scenarios["fuzz6"] = lambda: make_fuzz_site(1006, lo=55, hi=80)
     for name, builder in scenarios.items():
         out_tuple = builder()
         depth_priority = False
