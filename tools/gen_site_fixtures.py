@@ -462,7 +462,49 @@ def make_fuzz_site(seed, lo=14, hi=22):
     return d, pages, budget, seeds, depth_priority
 
 
+def write_scenario(sdir, domain, pages, budget, seeds, depth_priority):
+    visited, links, epochs = crawl(pages, domain, budget, seeds, depth_priority)
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, "pages.tsv"), "w") as f:
+        for url in sorted(pages):
+            f.write(url + "\t" +
+                    base64.b64encode(pages[url]).decode("ascii") + "\n")
+    with open(os.path.join(sdir, "config.json"), "w") as f:
+        json.dump({"domain": domain, "budget": budget,
+                   "seed_url": f"https://{domain}", "seeds": seeds,
+                   "depth_priority": depth_priority}, f)
+    with open(os.path.join(sdir, "trace.txt"), "w", encoding="utf-8") as f:
+        for u in visited:
+            f.write(u + "\n")
+    with open(os.path.join(sdir, "visited.txt"), "w", encoding="utf-8") as f:
+        for u in sorted(visited):
+            f.write(u + "\n")
+    with open(os.path.join(sdir, "links.txt"), "w", encoding="utf-8") as f:
+        for u in links:  # bit-exact save_links format (crawler.py:93-97)
+            f.write(f"{u}\n")
+    with open(os.path.join(sdir, "frontier_epochs.txt"), "w", encoding="utf-8") as f:
+        for i, ep in enumerate(epochs):
+            for u in ep:
+                f.write(f"{i}\t{u}\n")
+    return visited, links, epochs
+
+
+def soak(n, seed0, outdir):
+    """Uncommitted bulk scenarios for graft.tools.SoakCheck: N random sites
+    under outdir/<seed>/ — same format as the committed fixtures.
+    """
+    for s in range(seed0, seed0 + n):
+        domain, pages, budget, seeds, dp = make_fuzz_site(s)
+        v, l, e = write_scenario(os.path.join(outdir, f"soak{s}"),
+                                 domain, pages, budget, seeds, dp)
+        print(f"soak{s}: {len(v)} visited, {len(l)} links, {len(e)} epochs, "
+              f"budget={budget} dp={dp} seeds={len(seeds)}")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--soak":
+        soak(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        return
     scenarios = {
         "basic": site_basic,
         "quirks": site_quirks,
@@ -488,31 +530,9 @@ def main():
         else:
             domain, pages, budget = out_tuple
             seeds = [f"https://{domain}"]
-        visited, links, epochs = crawl(pages, domain, budget, seeds,
-                                       depth_priority)
-        sdir = os.path.join(OUT, name)
-        os.makedirs(sdir, exist_ok=True)
-        with open(os.path.join(sdir, "pages.tsv"), "w") as f:
-            for url in sorted(pages):
-                f.write(url + "\t" +
-                        base64.b64encode(pages[url]).decode("ascii") + "\n")
-        with open(os.path.join(sdir, "config.json"), "w") as f:
-            json.dump({"domain": domain, "budget": budget,
-                       "seed_url": f"https://{domain}", "seeds": seeds,
-                       "depth_priority": depth_priority}, f)
-        with open(os.path.join(sdir, "trace.txt"), "w", encoding="utf-8") as f:
-            for u in visited:
-                f.write(u + "\n")
-        with open(os.path.join(sdir, "visited.txt"), "w", encoding="utf-8") as f:
-            for u in sorted(visited):
-                f.write(u + "\n")
-        with open(os.path.join(sdir, "links.txt"), "w", encoding="utf-8") as f:
-            for u in links:  # bit-exact save_links format (crawler.py:93-97)
-                f.write(f"{u}\n")
-        with open(os.path.join(sdir, "frontier_epochs.txt"), "w", encoding="utf-8") as f:
-            for i, ep in enumerate(epochs):
-                for u in ep:
-                    f.write(f"{i}\t{u}\n")
+        visited, links, epochs = write_scenario(
+            os.path.join(OUT, name), domain, pages, budget, seeds,
+            depth_priority)
         print(f"{name}: {len(visited)} visited, {len(links)} links, {len(epochs)} epochs")
 
 
