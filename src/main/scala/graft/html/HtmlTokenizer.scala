@@ -55,7 +55,7 @@ object HtmlTokenizer {
     "\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\u1680\\u2000-\\u200A" +
       "\\u2028\\u2029\\u202F\\u205F\\u3000"
 
-  @inline private[html] def isPySpace(c: Char): Boolean =
+  @inline private[graft] def isPySpace(c: Char): Boolean =
     (c >= 0x09 && c <= 0x0d) || (c >= 0x1c && c <= 0x1f) ||
       c == 0x20 || c == 0x85 || c == 0xa0 || c == 0x1680 ||
       (c >= 0x2000 && c <= 0x200a) || c == 0x2028 || c == 0x2029 ||
@@ -64,7 +64,7 @@ object HtmlTokenizer {
   /** Python `str.strip()` (same char set as `\s` — not Java `trim`, which
     * only strips ≤ U+0020).
     */
-  private[html] def pyStrip(s: String): String = {
+  private[graft] def pyStrip(s: String): String = {
     var a = 0
     var b = s.length
     while (a < b && isPySpace(s.charAt(a))) a += 1

@@ -14,20 +14,48 @@ object Robots {
   /** (path_prefix, allow). */
   final case class Rule(prefix: String, allow: Boolean)
 
+  /** Python `str.splitlines()` boundaries — NOT just \n/\r\n: VT FF FS GS RS
+    * NEL LS PS all split. The oracle iterates `body.splitlines()`, so a body
+    * using exotic separators must parse identically (robots_fuzz differential
+    * caught `linesIterator` missing these).
+    */
+  @inline private def isLineBreak(c: Char): Boolean =
+    c == '\n' || c == '\r' || c == 0x0b || c == 0x0c ||
+      (c >= 0x1c && c <= 0x1e) || c == 0x85 || c == 0x2028 || c == 0x2029
+
+  private def pySplitlines(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    var start = 0
+    while (i < s.length) {
+      if (isLineBreak(s.charAt(i))) {
+        out += s.substring(start, i)
+        if (s.charAt(i) == '\r' && i + 1 < s.length && s.charAt(i + 1) == '\n') i += 1
+        i += 1
+        start = i
+      } else i += 1
+    }
+    if (start < s.length) out += s.substring(start)
+    out.result()
+  }
+
   /** Parse a robots.txt body → rules of the `*` group. Group semantics:
     * consecutive user-agent lines open a group; any of them being `*`
-    * selects it; a rule line closes the user-agent run.
+    * selects it; a rule line closes the user-agent run. Line splitting and
+    * stripping follow Python `splitlines`/`str.strip` (the oracle's exact
+    * operations — `trim` would miss NBSP/NEL/FS padding).
     */
   def parse(body: String): Seq[Rule] = {
+    import graft.html.HtmlTokenizer.pyStrip
     val rules = Seq.newBuilder[Rule]
     var inStar = false
     var seenUaSinceRules = true
-    for (raw <- body.linesIterator) {
-      val line = raw.split("#", 2)(0).trim
+    for (raw <- pySplitlines(body)) {
+      val line = pyStrip(raw.split("#", 2)(0))
       if (line.nonEmpty && line.contains(":")) {
         val idx = line.indexOf(':')
-        val field = line.substring(0, idx).trim.toLowerCase(java.util.Locale.ROOT)
-        val value = line.substring(idx + 1).trim
+        val field = pyStrip(line.substring(0, idx)).toLowerCase(java.util.Locale.ROOT)
+        val value = pyStrip(line.substring(idx + 1))
         field match {
           case "user-agent" =>
             if (seenUaSinceRules) inStar = inStar || value == "*"
