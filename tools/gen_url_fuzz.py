@@ -21,7 +21,10 @@ HOSTS = ["example.com", "EXAMPLE.com", "sub.example.com:8080", "a.b.c.example.co
          "user:pw@example.com", "example.com:443", "xn--caf-dma.example",
          "localhost", "127.0.0.1:9000", ""]
 PATH_SEGS = ["a", "b", "..", ".", "p;x=1", "q%20r", "%2F", "ünïcode", "~user",
-             "a b", "", "...", "s;p1;p2", "UPPER"]
+             "a b", "", "...", "s;p1;p2", "UPPER",
+             # WHATWG-sanitize territory: urlsplit lstrips C0-or-space and
+             # removes every tab/CR/LF; NBSP/NEL are NOT stripped
+             "a\tb", "c\rd", "e\nf", "\x0bg", "\x85h", "\u00a0i", "\x00j"]
 QUERIES = ["", "?a=1&b=2", "?a=%26&b=%3D", "??", "?dup=1&dup=2", "?;semi",
            "?q=val#notfrag", "?"]
 FRAGS = ["", "#f", "#a#b", "#%20", "#?q"]
@@ -60,7 +63,9 @@ def rand_href():
     if r < 0.9:
         return "//" + rng.choice(HOSTS) + rand_path()
     return rng.choice(["", "#", "?", ".", "..", "/", ";x", "c:\\win",
-                       " lead", "a\tb", ":8080/odd", "////quad"])
+                       " lead", "a\tb", ":8080/odd", "////quad",
+                       "\thttp://tab.lead/x", "\x0c lead", "ht\ntp://split.it/",
+                       " \t\r\n mix", "\x1f\x7f ctl"])
 
 
 def b64(s):
