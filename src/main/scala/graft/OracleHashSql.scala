@@ -73,11 +73,15 @@ object OracleHashSql {
   /** FNV-1a fold over the characters of string expression `s`, seeded with
     * `init` ([[graft.textops.TextOps.hashString]] before the mix64 step).
     * The init is prepended to the char-code list so list_reduce uses it as
-    * the accumulator seed; an empty string folds to init.
+    * the accumulator seed; an empty string folds to init. The empty-string
+    * guard matters: DuckDB `string_split('', '')` is `['']` and
+    * `unicode('')` is -1, so an unguarded fold would xor in a phantom -1
+    * (and error on the UBIGINT cast) instead of folding nothing.
     */
   private def fnvFold(init: Long, s: String): String =
     s"list_reduce(list_prepend(${unsigned(init)}::HUGEINT, " +
-      s"list_transform(string_split($s, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"CASE WHEN $s = '' THEN CAST([] AS HUGEINT[]) " +
+      s"ELSE list_transform(string_split($s, ''), c -> CAST(unicode(c) AS HUGEINT)) END), " +
       s"(a, b) -> ${wrapMulSmall(ubxor("a", "b"), 0x100000001b3L)})"
 
   /** [0,2^64) HUGEINT column `z` reinterpreted as Java's signed long. */
@@ -106,10 +110,14 @@ object OracleHashSql {
   }
 
   /** Twin of `Dedup.minHashLsh(documents, "doc_id", "text", shingleK=3,
-    * numHashes, bands, threshold)` — shingle → MinHash → band buckets →
-    * candidate pairs → exact Jaccard → threshold.
+    * numHashes, bands, threshold, maxBucketSize)` — shingle → MinHash →
+    * band buckets → candidate pairs (with the hot-bucket chain cap: buckets
+    * over `maxBucketSize` emit only consecutive-id pairs, exactly
+    * `Dedup.bucketPairs`' deterministic row_number-by-id chain) → exact
+    * Jaccard → threshold.
     */
-  def minHashLsh(shingleK: Int, numHashes: Int, bands: Int, threshold: Double): String = {
+  def minHashLsh(shingleK: Int, numHashes: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int = 4096): String = {
     val rowsPerBand = numHashes / bands
     // k-shingle strings: the Scala loop hashes each token's chars then a
     // space, so the fold input is "t_i t_{i+1} t_{i+2} " (trailing space);
@@ -137,9 +145,20 @@ object OracleHashSql {
        |  FROM $seedMixLast GROUP BY doc_id, j, band
        |), bandkey AS (
        |  SELECT doc_id, band, list(sv ORDER BY j) AS bk FROM sig GROUP BY doc_id, band
+       |), sized AS (
+       |  SELECT doc_id, band, bk,
+       |    count(*) OVER (PARTITION BY band, bk) AS bsz,
+       |    row_number() OVER (PARTITION BY band, bk ORDER BY doc_id) AS rk
+       |  FROM bandkey
        |), pairs AS (
-       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |  FROM bandkey l JOIN bandkey r ON l.band = r.band AND l.bk = r.bk AND l.doc_id < r.doc_id
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT l.doc_id AS a, r.doc_id AS b
+       |    FROM sized l JOIN sized r ON l.band = r.band AND l.bk = r.bk AND l.doc_id < r.doc_id
+       |    WHERE l.bsz <= $maxBucketSize
+       |    UNION ALL
+       |    SELECT l.doc_id AS a, r.doc_id AS b
+       |    FROM sized l JOIN sized r ON l.band = r.band AND l.bk = r.bk AND r.rk = l.rk + 1
+       |    WHERE l.bsz > $maxBucketSize)
        |), shset AS (
        |  SELECT doc_id, list(sh) AS ss, count(*) AS n FROM shash GROUP BY doc_id
        |), scored AS (
@@ -207,7 +226,8 @@ object OracleHashSql {
     val (mixDefs, mixLast) = mix64Ctes("roll", Seq("doc_id"))
     s"""roll AS (
        |  SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
-       |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+       |    CASE WHEN text = '' THEN CAST([] AS HUGEINT[])
+       |    ELSE list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT)) END),
        |    (a, b) -> ((a * 257::HUGEINT + b) % $M64)) AS z
        |  FROM documents
        |), ${mixDefs.mkString(",\n")},

@@ -53,15 +53,16 @@ object ScalingBench {
       val r = once(nPages)
       val steal = stealJiffies() - s0
       println(f"""{"metric":"scaling_rep","mode":"$mode","cores":$cores,"rep":$i,"sec":${r._1}%.2f,"steal_jiffies":$steal}""")
-      r
+      (r._1, r._2, Bench.lastWarehouse) // warehouse captured PER REP
     }
-    val (sec, scheduled) = runs.minBy(_._1)
+    val (sec, scheduled, bestWh) = runs.minBy(_._1)
     val thr = scheduled / sec
     println(
       f"""{"metric":"scaling_point","mode":"$mode","cores":$cores,"n_pages":$nPages,"urls_per_sec":$thr%.1f,"sec":$sec%.2f,"scheduled":$scheduled}""")
-    // per-step laps of the last run's epoch(s) (CrawlEngine stamps ms_* into
-    // each snapshot's metrics) — where the wall time went, for plan tuning
-    Bench.lastWarehouse.foreach { wh =>
+    // per-step laps of the SELECTED (min) rep's epoch(s) — the step breakdown
+    // must describe the same run as the headline number, not the final rep,
+    // which on a noisy box may be a steal-contaminated run that minBy rejected
+    bestWh.foreach { wh =>
       val store = new graft.snapshot.SnapshotStore(spark, wh)
       store.latest().foreach { last =>
         (0 to last.epoch).foreach { e =>

@@ -405,7 +405,8 @@ object SparkEntry {
     // wrapping-64-bit hash kernels, emulated exactly in DuckDB via HUGEINT
     // mod-2^64 arithmetic (see OracleHashSql)
     "q_minhash_dedup" ->
-      OracleHashSql.minHashLsh(shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5),
+      OracleHashSql.minHashLsh(shingleK = 3, numHashes = 64, bands = 16,
+        threshold = 0.5, maxBucketSize = 4096),
     "q_simhash_dedup" -> OracleHashSql.simHash(maxHamming = 3),
     "q_lang_quality" ->
       s"""WITH qq AS ($qualityStatsSql), ${OracleHashSql.fingerprintCtes}

@@ -18,7 +18,10 @@ object JdkCodec {
 
   // ---- image -----------------------------------------------------------------
 
-  def encodePng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+  /** Encode via any ImageIO writer this JDK ships (verified in-sandbox:
+    * png, jpeg, gif, tiff, bmp — all deterministic byte-for-byte).
+    */
+  def encodeImage(fmt: String, w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -27,9 +30,12 @@ object JdkCodec {
       y += 1
     }
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    require(ImageIO.write(img, fmt, bos), s"no ImageIO writer for format '$fmt'")
     bos.toByteArray
   }
+
+  def encodePng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] =
+    encodeImage("png", w, h, rgb)
 
   def decodeImage(bytes: Array[Byte]): BufferedImage =
     ImageIO.read(new ByteArrayInputStream(bytes))

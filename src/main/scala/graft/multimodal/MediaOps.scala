@@ -8,11 +8,12 @@ import org.apache.spark.sql.types._
   * travel as opaque `binary` columns with a typed metadata struct, processed
   * partition-parallel via mapPartitions over typed Datasets (the JVM analog
   * of the mapInPandas batch shape). The codec layer is REAL, JDK-only
-  * ([[JdkCodec]]): PNG via `javax.imageio`, WAV PCM via
+  * ([[JdkCodec]]): PNG/JPEG/GIF/BMP/TIFF via `javax.imageio`, WAV PCM via
   * `javax.sound.sampled`, multi-frame PNG containers for video; decode →
   * box-resize → frame-sample → luma/amplitude feature pooling all operate
   * on actual pixels/samples. [[StubCodec]] remains only as the fallback for
-  * codecs absent in this sandbox (jpeg/h264/...), clearly marked.
+  * codecs genuinely absent in this sandbox (h264-class video), clearly
+  * marked.
   */
 object MediaOps {
 
@@ -92,6 +93,18 @@ object MediaOps {
   @inline private def mixPix(id: Long, k: Long): Long =
     StubCodec.mixPublic(id * 0xd1342543de82ef95L + k)
 
+  /** Image codecs synthesized into the corpus — every still-image format this
+    * JDK's ImageIO round-trips (encode+decode verified in-sandbox). JPEG is
+    * deliberately included: real crawled media is mostly JPEG and it must
+    * take the real decode path.
+    */
+  private val ImageCodecs = Vector("png", "jpeg", "gif", "bmp", "tiff")
+
+  /** Bump when `synthesize` output changes — stale parquet corpora cached by
+    * an older engine version must not be served for the new contract.
+    */
+  private val CorpusVersion = "v2"
+
   /** Synthesize a media table with REAL encoded bytes — deterministic PNG
     * images (pseudo-random RGB per pixel), 16-bit PCM WAV sine tones, and
     * GFTV multi-frame PNG containers — a stand-in corpus with the exact
@@ -112,9 +125,12 @@ object MediaOps {
         val w = 32 + (id % 8).toInt * 8
         val h = 32 + (id % 5).toInt * 8
         val durationMs = if (mt == "image") 0L else 500L + (id % 10) * 250L
+        // rotate through every ImageIO codec this JDK decodes — real-web media
+        // is mostly JPEG, so the jpeg path must be first-class, not stubbed
+        val imageCodec = ImageCodecs(((id / 3) % ImageCodecs.length).toInt)
         val bytes = mt match {
           case "image" =>
-            JdkCodec.encodePng(w, h,
+            JdkCodec.encodeImage(imageCodec, w, h,
               (x, y) => (mixPix(id, y.toLong * w + x) & 0xffffff).toInt)
           case "audio" =>
             val sr = 4000f
@@ -129,7 +145,7 @@ object MediaOps {
                 (x, y) => (mixPix(id, (f.toLong << 32) | (y * 32L + x)) & 0xffffff).toInt)))
         }
         val codec = mt match {
-          case "image" => "png"; case "audio" => "wav"; case _ => "gftv"
+          case "image" => imageCodec; case "audio" => "wav"; case _ => "gftv"
         }
         // meta must describe the actual payload: video frames are encoded at
         // a fixed 32×24, so stamp those dims, not the id-derived image dims
@@ -152,7 +168,7 @@ object MediaOps {
     import spark.implicits._
     val safe = cacheKey.replaceAll("[^A-Za-z0-9._-]", "_")
     val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft-media-cache")
+      System.getProperty("java.io.tmpdir"), s"graft-media-cache-$CorpusVersion")
     val dir = new java.io.File(base, safe)
     if (!dir.exists()) {
       base.mkdirs()
@@ -184,7 +200,7 @@ object MediaOps {
       it.flatMap { row =>
         if (row.media == null) Iterator.empty
         else row.meta.codec match {
-          case "png" | "bmp" =>
+          case "png" | "bmp" | "jpeg" | "jpg" | "gif" | "tiff" | "tif" | "wbmp" =>
             val px = JdkCodec.resizeLuma(JdkCodec.decodeImage(row.media), targetW, targetH)
             Iterator.single(MediaFeatures(row.doc_id, row.meta.mediaType, dim,
               JdkCodec.poolFeatures(px, dim), 1, targetW, targetH))
@@ -204,7 +220,7 @@ object MediaOps {
             }
             Iterator.single(MediaFeatures(row.doc_id, row.meta.mediaType, dim,
               pooled, idx.length, targetW, targetH))
-          case _ => // no decoder in sandbox → deterministic stub fallback
+          case _ => // genuinely absent decoder (h264-class) → deterministic stub
             val frames: Array[Int] = row.meta.mediaType match {
               case "video" => StubCodec.sampleFrames(row.meta.durationMs, fps, maxFrames)
               case _       => Array(0)

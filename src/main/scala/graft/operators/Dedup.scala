@@ -76,12 +76,14 @@ object Dedup {
     * `maxBucketSize` caps pathological buckets (N identical docs ⇒ N²/2
     * pairs in one bucket): oversized buckets emit only CONSECUTIVE id pairs
     * (a sorted chain, O(N) pairs) — mutual near-dups stay connected for
-    * downstream clustering while the quadratic blowup is cut. Default = no
-    * cap (and no extra shuffle), preserving exact candidate semantics.
+    * downstream clustering while the quadratic blowup is cut. The cap is ON
+    * by default (4096, same as simHash/embeddingNearDup): at 10^10 docs with
+    * heavy exact duplication, band buckets go quadratic without it. Pass
+    * Int.MaxValue for exact candidate semantics (and no sizing shuffle).
     */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      threshold: Double = 0.8, maxBucketSize: Int = 4096): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     val sigs = docs.select(

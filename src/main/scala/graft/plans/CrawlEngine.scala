@@ -482,8 +482,9 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         Some(snapshot.tables("frontier")), fullRewrite = true)
       lap("frontier_write")
       val vState = Await.result(vStateF, scala.concurrent.duration.Duration.Inf)
+      lap("visited_wait")
       val lState = Await.result(lStateF, scala.concurrent.duration.Duration.Inf)
-      lap("visited_join")
+      lap("links_wait")
       // the per-epoch sketch broadcast is consumed only by the frontier
       // write above — release it so long crawls don't accumulate broadcast
       // state on the driver/executors

@@ -56,6 +56,18 @@ class OperatorSpec extends AnyFunSuite {
     assert((1L to 20L).map(find).toSet.size == 1, "cap broke dup-cluster connectivity")
   }
 
+  test("minhash DEFAULT cap bounds an over-4096 identical-doc bucket to O(N) pairs") {
+    // driver-query defaults (q_minhash_dedup): the cap must be ON by default —
+    // 5000 identical docs would otherwise emit ~12.5M pairs inside one task
+    val n = 5000
+    val many = (1L to n.toLong).map(i => (i, docA)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLsh(many, "doc_id", "text", shingleK = 3,
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == n - 1, s"expected ${n - 1} chained pairs, got ${pairs.length}")
+    assert(pairs.forall(_._3 == 1.0))
+  }
+
   test("simhash hot-bucket cap: identical docs chain in O(N) pairs, stay connected") {
     val many = (1L to 20L).map(i => (i, docA)).toDF("doc_id", "text")
     val pairs = Dedup.simHash(many, "doc_id", "text", maxHamming = 3,
@@ -197,6 +209,30 @@ class OperatorSpec extends AnyFunSuite {
     val back = JdkCodec.decodeVideoFrames(JdkCodec.encodeVideo(frames))
     assert(back.length == 5)
     assert(back.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+  }
+
+  test("jpeg/gif/tiff/bmp rows take the real decode path, not the stub") {
+    import graft.multimodal.{JdkCodec, MediaOps}
+    // a solid mid-gray frame in every codec: real decode pools every feature
+    // to ~128/255 (JPEG is lossy but flat fields survive near-exactly); the
+    // stub would emit pseudo-random values in (-1,1) — unmistakably different
+    val rows = Seq("jpeg", "gif", "tiff", "bmp").zipWithIndex.map { case (c, i) =>
+      MediaOps.MediaRow(i.toLong,
+        JdkCodec.encodeImage(c, 48, 32, (_, _) => 0x808080),
+        MediaOps.MediaMeta("image", 48, 32, 0L, c))
+    }
+    val feats = MediaOps.extractFeatures(spark.createDataset(rows),
+      targetW = 8, targetH = 8, dim = 4).collect().sortBy(_.doc_id)
+    assert(feats.length == 4)
+    feats.foreach { f =>
+      f.features.foreach(v =>
+        assert(math.abs(v - 128f / 255f) < 3f / 255f, s"doc ${f.doc_id}: $v"))
+    }
+    // synthesized corpus actually contains the new codecs
+    val manyDocs = (1L to 30L).map(i => (i, "t")).toDF("doc_id", "text")
+    val codecs = MediaOps.synthesize(manyDocs, "doc_id", "text")
+      .collect().map(_.meta.codec).toSet
+    assert(Set("png", "jpeg", "gif", "bmp", "tiff").subsetOf(codecs), codecs.toString)
   }
 
   test("cached media corpus is byte-identical to fresh synthesis") {
