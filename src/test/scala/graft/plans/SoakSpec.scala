@@ -1,0 +1,36 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Committed soak profile: 40 seeded-random site scenarios (fixed seeds
+  * 3000-3039) checked against the Python trace oracle on every `sbt test`
+  * run, so trace/frontier exactness cannot silently regress between rounds.
+  *
+  * Regenerate (deterministic; only needed if the oracle contract changes):
+  *   python3 tools/gen_site_fixtures.py --soak 40 3000 src/test/resources/soak
+  */
+class SoakSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("soak profile: 40 fixed-seed scenarios match the Python oracle exactly") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val root = new java.io.File(getClass.getResource("/soak").toURI)
+    val dirs = root.listFiles().filter(_.isDirectory).sortBy(_.getName)
+    assert(dirs.length == 40, s"expected 40 committed soak scenarios, found ${dirs.length}")
+    // scenarios are independent (own warehouses); the per-epoch cost is
+    // driver-side job latency, so 4 concurrent crawls on the shared session
+    // overlap it — ~4x faster wall clock than sequential, same checks
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fails = Await.result(
+        Future.sequence(dirs.toSeq.map(d =>
+          Future(graft.tools.SoakCheck.checkScenario(spark, d.toPath)))),
+        Duration.Inf).flatten
+      assert(fails.isEmpty, fails.mkString("\n"))
+    } finally pool.shutdown()
+  }
+}
