@@ -102,6 +102,63 @@ object Bench {
     (sec, scheduled)
   }
 
+  /** Pruned-fetch kernel (bucket-manifest pruning evidence, BASELINE.md):
+    * ONE epoch over a SMALL frontier (`frontierN` urls spread across the
+    * corpus) against an `nPages` corpus in the bucket-manifest layout —
+    * the ramp-up / per-domain regime where an unpruned engine scans the
+    * whole corpus for a handful of fetches. Bucket size is held constant
+    * (~2000 pages/bucket), so bucket count scales with the corpus and a
+    * fixed frontier touches a fixed number of buckets: epoch cost tracks
+    * the FRONTIER, not the corpus. `pruned=false` runs the identical epoch
+    * over the identical files without manifest pruning (the control).
+    * Adoption is a one-time cost cached under /tmp per (nPages, buckets).
+    * Returns (sec, urlsScheduledDeduped, pagesFilesRead, pagesFilesTotal).
+    */
+  def prunedKernel(spark: SparkSession, nPages: Long, frontierN: Long,
+      partitions: Int, pruned: Boolean): (Double, Long, Long, Long) = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.snapshot.BucketedPages
+    val domain = "example.com"
+    val buckets = math.max(64L, nPages / 2000L).toInt
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-$nPages-$buckets"
+    val bp =
+      if (BucketedPages.manifestExists(spark, dir)) BucketedPages.load(spark, dir)
+      else BucketedPages.adopt(spark,
+        SiteGen.pages(spark, domain, nPages, hosts = 32, outDegree = 12,
+          numPartitions = partitions), dir, buckets)
+
+    val wh = Files.createTempDirectory("graft-pruned-").toString
+    lastWarehouse = Some(wh)
+    val store = new SnapshotStore(spark, wh)
+    val stride = math.max(1L, nPages / frontierN)
+    val frontier0 = spark.range(0, frontierN, 1, partitions)
+      .map(i => SiteGen.pageUrl(domain, 32, i * stride))
+      .toDF("url")
+      .select(col("url"), graft.plans.planfns.host_key(col("url")).as("host"),
+        lit(0L).as("priority"))
+    val fState = store.writeDelta("frontier", 0, frontier0, None, fullRewrite = true)
+    val vState = store.writeDelta("visited", -1,
+      Seq.empty[(Int, String)].toDF("epoch", "url"), None)
+    val lState = store.writeDelta("links", -1, Seq.empty[String].toDF("url"), None)
+    val sState = store.writeDelta("suppressed", -1, Seq.empty[String].toDF("url"), None)
+    store.commit(-1, Map("frontier" -> fState, "visited" -> vState,
+      "links" -> lState, "suppressed" -> sState), Map("seed" -> fState.deltaRows))
+
+    val engine = new CrawlEngine(spark,
+      CrawlConfig(domain, numPartitions = partitions, maxEpochs = 1))
+    val t0 = System.nanoTime()
+    val result =
+      if (pruned) engine.run(bp, s"https://$domain", wh)
+      else engine.run(bp.full, Seq(s"https://$domain"), wh)
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(result.epochs == 1)
+    val m = store.snapshotAt(0).map(_.metrics).getOrElse(Map.empty)
+    (sec, m.getOrElse("candidates_in", 0L),
+      m.getOrElse("pages_files_read", -1L),
+      m.getOrElse("pages_files_total", bp.totalFiles.toLong))
+  }
+
   /** Single-thread fixed-work CPU probe (page extraction, µs/page). The VM
     * shows 2-7× CPU steal at times (BASELINE.md); this calibrates whether a
     * given run was taken on a noisy box. ~16 µs/page is the idle-box

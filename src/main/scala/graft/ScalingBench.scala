@@ -31,6 +31,7 @@ object ScalingBench {
     val nPages = if (args.length > 1) args(1).toLong else 200000L
     val mode = if (args.length > 2) args(2) else "steady"
     val reps = if (args.length > 3) args(3).toInt else 3
+    val frontierN = if (args.length > 4) args(4).toLong else 200L
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
@@ -43,9 +44,17 @@ object ScalingBench {
     def once(n: Long): (Double, Long) = mode match {
       case "bfs" =>
         val r = Bench.crawlKernel(spark, n, cores); (r._1, r._2)
+      // bucket-manifest pruning evidence: "pruned" pre-selects pages files
+      // from the epoch frontier's bucket set, "prunedfull" is the identical
+      // epoch over the identical files with no pruning (the control)
+      case "pruned" | "prunedfull" =>
+        val r = Bench.prunedKernel(spark, n, frontierN, cores, mode == "pruned")
+        println(f"""{"metric":"pruned_files","mode":"$mode","files_read":${r._3},"files_total":${r._4}}""")
+        (r._1, r._2)
       case _ => Bench.steadyKernel(spark, n, cores)
     }
-    once(20000L) // JIT/codegen warmup
+    if (mode == "pruned" || mode == "prunedfull") once(40000L)
+    else once(20000L) // JIT/codegen warmup
     // best-of-N: the sandbox VM shows CPU-steal noise; min is the least
     // contaminated estimate of true cost
     val runs = (1 to reps).map { i =>

@@ -8,7 +8,7 @@ import org.apache.spark.storage.StorageLevel
 import graft.html.htmlfns._
 import graft.plans.planfns._
 import graft.sketch.BloomSketch
-import graft.snapshot.SnapshotStore
+import graft.snapshot.{BucketedPages, SnapshotStore}
 import graft.snapshot.SnapshotStore.Snapshot
 import graft.url.urlfns._
 
@@ -212,12 +212,27 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
   def run(pages: DataFrame, seedUrl: String, warehouse: String): CrawlResult =
     run(pages, Seq(seedUrl), warehouse)
 
+  def run(pages: DataFrame, seedUrls: Seq[String], warehouse: String): CrawlResult =
+    runSource(pages, None, seedUrls, warehouse)
+
+  /** Bucket-manifest pages source: each epoch's fetch join pre-selects data
+    * files against the frontier's bucket set before spark.read — the scan
+    * cost tracks the FRONTIER, not the corpus (the 100-TB fetch-join story;
+    * BASELINE.md 10^10 accounting).
+    */
+  def run(pages: BucketedPages, seedUrl: String, warehouse: String): CrawlResult =
+    run(pages, Seq(seedUrl), warehouse)
+
+  def run(pages: BucketedPages, seedUrls: Seq[String], warehouse: String): CrawlResult =
+    runSource(pages.full, Some(pages), seedUrls, warehouse)
+
   /** Run the crawl to fixpoint (≡ queue.join(), crawler.py:85) from a SEED
     * LIST (north_star: "given the same seed list"), committing a snapshot
     * per epoch under `warehouse`. Resumes from the newest valid snapshot if
     * one exists. Epoch-0 frontier = sorted distinct allowed seeds.
     */
-  def run(pages: DataFrame, seedUrls: Seq[String], warehouse: String): CrawlResult = {
+  private def runSource(pages: DataFrame, bucketed: Option[BucketedPages],
+      seedUrls: Seq[String], warehouse: String): CrawlResult = {
     val store = new SnapshotStore(spark, warehouse)
     val robots = robotsTable(pages).persist(StorageLevel.MEMORY_AND_DISK)
     // no robots rows (the common case) ⇒ the gate is a constant-true filter
@@ -364,11 +379,28 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       // (crawler.py:45-46). Small epochs broadcast the frontier side and
       // stream the pages scan (no pages shuffle); huge epochs fall back to a
       // shuffled join that AQE can re-plan.
+      //
+      // Bucket-manifest pruning (the 100-TB lever): with a BucketedPages
+      // source, the epoch's frontier names its bucket set (≤ numBuckets ints,
+      // driver-collected) and the scan below is built from ONLY those data
+      // files — an epoch touching 1% of buckets reads 1% of the corpus
+      // instead of all of it.
+      var pagesFilesRead = -1L
+      val pagesForEpoch = bucketed match {
+        case None => pages
+        case Some(bp) =>
+          val bucketSet = fetchNow
+            .select(bp.bucketExpr(col("url")).as("b"))
+            .distinct().as[Int].collect().toSet
+          pagesFilesRead = bp.filesFor(bucketSet).size.toLong
+          bp.scanBuckets(bucketSet)
+      }
+      lap("bucket_prune")
       val fetchKeys =
         if (frontierCount <= config.broadcastFetchMax)
           broadcast(fetchNow.select("url"))
         else fetchNow.select("url").repartition(P, col("url"))
-      val fetched = pages.select("url", "html").join(fetchKeys, Seq("url"))
+      val fetched = pagesForEpoch.select("url", "html").join(fetchKeys, Seq("url"))
       val cleanLinks = fetched
         .select(col("url").as("page_url"), explode_outer(extract_hrefs(col("html"))).as("href"))
         .filter(col("href").isNotNull)
@@ -503,7 +535,11 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
           "new_suppressed" -> sState.deltaRows,
           "candidates_in" -> candidatesIn,
           "next_frontier" -> fState.deltaRows,
-          "wall_ms" -> wallMs) ++ stepMs)
+          "wall_ms" -> wallMs) ++ stepMs ++
+          (if (pagesFilesRead >= 0)
+            Map("pages_files_read" -> pagesFilesRead,
+              "pages_files_total" -> bucketed.get.totalFiles.toLong)
+          else Map.empty[String, Long]))
 
       candidates.unpersist()
       cleanLinks.unpersist()

@@ -7,7 +7,13 @@ import org.apache.spark.sql.SparkSession
   *
   *   spark-submit --class graft.plans.CrawlJob graft.jar \
   *     --pages <parquet path|synth:N> --domain <domain> \
-  *     --warehouse <dir> [--budget K] [--partitions P] [--max-epochs E]
+  *     --warehouse <dir> [--budget K] [--partitions P] [--max-epochs E] \
+  *     [--buckets B]
+  *
+  * `--buckets B` adopts the pages table into the bucket-manifest layout
+  * under <warehouse>-pages (one-time; reused on resume via its manifest) so
+  * every epoch's fetch join pre-selects data files against the frontier's
+  * bucket set instead of scanning the corpus.
   *
   * Resumes automatically from the newest valid snapshot in the warehouse.
   * With `--pages synth:N` the input is the deterministic SiteGen table
@@ -60,7 +66,16 @@ object CrawlJob {
       CrawlConfig(domain, budget = budget, numPartitions = partitions,
         depthPriority = a.get("depth-priority").exists(_.toBoolean),
         maxEpochs = maxEpochs))
-    val result = engine.run(pages, seeds, warehouse)
+    val result = a.get("buckets").map(_.toInt) match {
+      case Some(b) =>
+        val pagesDir = s"$warehouse-pages"
+        val bucketedPages =
+          if (graft.snapshot.BucketedPages.manifestExists(spark, pagesDir))
+            graft.snapshot.BucketedPages.load(spark, pagesDir)
+          else graft.snapshot.BucketedPages.adopt(spark, pages, pagesDir, b)
+        engine.run(bucketedPages, seeds, warehouse)
+      case None => engine.run(pages, seeds, warehouse)
+    }
     val links = result.lastSnapshot.tables("links").totalRows
     val visited = result.lastSnapshot.tables("visited").totalRows
     println(s"crawl complete: epochs=${result.epochs} visited=$visited " +

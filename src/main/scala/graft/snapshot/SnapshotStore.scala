@@ -27,9 +27,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SnapshotStore {
   /** One data file = one write partition: (path, rows) is the per-partition
-    * lineage + row metric the north_rule asks for.
+    * lineage + row metric the north_rule asks for. `bucket` >= 0 records the
+    * key-hash bucket every row of the file belongs to (SURVEY.md §1.4
+    * "per-partition data-file list with min/max of the partition key" — the
+    * file-level pruning stat that lets a reader select data files by bucket
+    * BEFORE spark.read); -1 = unbucketed.
     */
-  final case class DataFile(path: String, rows: Long)
+  final case class DataFile(path: String, rows: Long, bucket: Int = -1)
   final case class TableState(dataFiles: Seq[DataFile], deltaRows: Long, totalRows: Long) {
     def files: Seq[String] = dataFiles.map(_.path)
   }
@@ -39,6 +43,12 @@ object SnapshotStore {
       epoch: Int,
       tables: Map[String, TableState],
       metrics: Map[String, Long])
+
+  /** Exact row count from the parquet footer — driver-side, no Spark job. */
+  def parquetRowCount(fp: Path, hconf: org.apache.hadoop.conf.Configuration): Long = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(fp, hconf))
+    try r.getRecordCount finally r.close()
+  }
 }
 
 final class SnapshotStore(spark: SparkSession, val root: String) {
@@ -66,8 +76,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     // per-file row counts from parquet footers, driver-side — no Spark job;
     // one file = one write partition, so this IS the per-partition lineage
     val dataFiles = paths.map { fp =>
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(fp), hconf))
-      try DataFile(fp, r.getRecordCount) finally r.close()
+      DataFile(fp, parquetRowCount(new Path(fp), hconf))
     }
     val deltaRows = dataFiles.map(_.rows).sum
     val parentFiles = if (fullRewrite) Nil else parent.map(_.dataFiles).getOrElse(Nil)
@@ -113,6 +122,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         val fo = arr.addObject()
         fo.put("path", df.path)
         fo.put("rows", df.rows)
+        if (df.bucket >= 0) fo.put("bucket", df.bucket)
       }
     }
     val mnode = node.putObject("metrics")
@@ -160,7 +170,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       val name = e.getKey
       val o = e.getValue
       val files = o.get("files").asInstanceOf[ArrayNode].asScala.map { fn =>
-        DataFile(fn.get("path").asText(), fn.get("rows").asLong())
+        DataFile(fn.get("path").asText(), fn.get("rows").asLong(),
+          Option(fn.get("bucket")).map(_.asInt()).getOrElse(-1))
       }.toSeq
       name -> TableState(files, o.get("delta_rows").asLong(), o.get("total_rows").asLong())
     }.toMap
