@@ -56,6 +56,7 @@ final case class CrawlConfig(
     broadcastFetchMax: Long = 100000L,
     robotsBroadcastMax: Long = 100000L,
     depthPriority: Boolean = false,
+    crawlDelayWindowSec: Double = 60.0,
     maxEpochs: Int = Int.MaxValue)
 
 final case class CrawlResult(
@@ -151,45 +152,67 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         if (p.path != "/robots.txt") None
         else {
           val body = new String(html, java.nio.charset.StandardCharsets.UTF_8)
-          val rules = graft.robots.Robots.parse(body)
+          val parsed = graft.robots.Robots.parseAll(body)
           Some((graft.robots.Robots.hostKey(url), url,
-            rules.map(_.prefix).toArray, rules.map(_.allow).toArray))
+            parsed.rules.map(_.prefix).toArray,
+            parsed.rules.map(_.allow).toArray,
+            parsed.crawlDelay))
         }
       }
-    }.toDF("host", "src_url", "prefixes", "allows")
+    }.toDF("host", "src_url", "prefixes", "allows", "crawl_delay")
     parsed
       .withColumn("__r", row_number().over(Window.partitionBy("host")
         .orderBy(col("src_url").startsWith("https://").desc, col("src_url"))))
       .filter(col("__r") === 1)
-      .select("host", "prefixes", "allows")
+      .select("host", "prefixes", "allows", "crawl_delay")
   }
 
   /** Per-host budget gate: salted two-phase top-K so one hot host cannot
     * serialize the window shuffle. Phase 1 ranks within (host, salt) — the
     * global per-host top-K is a subset of the per-salt top-Ks — phase 2
     * ranks the ≤ K·S survivors exactly. Returns (fetchNow, deferred).
+    *
+    * `delayBudgets` (host, delay_budget) — derived from robots crawl-delay
+    * — tightens the per-host cap to min(configured, delay_budget); hosts
+    * absent from it keep the configured budget (or no cap). The budget is a
+    * per-host CONSTANT, so the salted phase-1 top-K remains a superset of
+    * the exact per-host top-K.
     */
-  private def politenessSplit(frontier: DataFrame): (DataFrame, DataFrame, Seq[DataFrame]) =
-    config.budget match {
-      case None => (frontier, frontier.limit(0), Nil)
-      case Some(b) =>
-        // priority-queue order (O-9): (priority asc, url asc). Trace-match
-        // mode uses constant priority, which degenerates to the SURVEY §A.1
-        // lexicographic contract.
-        val salted = frontier.withColumn(
-          "salt", pmod(xxhash64(col("url")), lit(config.saltBuckets)))
-        val r1 = salted.withColumn("r1",
-          row_number().over(Window.partitionBy("host", "salt").orderBy("priority", "url")))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val survivors = r1.filter(col("r1") <= b)
-        val r2 = survivors.withColumn("r2",
-          row_number().over(Window.partitionBy("host").orderBy("priority", "url")))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val fetchNow = r2.filter(col("r2") <= b).select("url", "host", "priority")
-        val defer = r1.filter(col("r1") > b).select("url", "host", "priority")
-          .union(r2.filter(col("r2") > b).select("url", "host", "priority"))
-        (fetchNow, defer, Seq(r1, r2))
+  private def politenessSplit(frontier: DataFrame,
+      delayBudgets: Option[DataFrame],
+      robotsCount: Long): (DataFrame, DataFrame, Seq[DataFrame]) = {
+    if (config.budget.isEmpty && delayBudgets.isEmpty)
+      return (frontier, frontier.limit(0), Nil)
+    // priority-queue order (O-9): (priority asc, url asc). Trace-match
+    // mode uses constant priority, which degenerates to the SURVEY §A.1
+    // lexicographic contract.
+    val withB = delayBudgets match {
+      case None =>
+        frontier.withColumn("__b", lit(config.budget.get.toLong))
+      case Some(db) =>
+        val joined = frontier.join(
+          if (robotsCount <= config.robotsBroadcastMax) broadcast(db)
+          else db.repartition(P, col("host")),
+          Seq("host"), "left")
+        val delayCap = coalesce(col("delay_budget"), lit(Long.MaxValue))
+        joined.withColumn("__b", config.budget
+          .map(cb => least(delayCap, lit(cb.toLong))).getOrElse(delayCap))
+          .drop("delay_budget")
     }
+    val salted = withB.withColumn(
+      "salt", pmod(xxhash64(col("url")), lit(config.saltBuckets)))
+    val r1 = salted.withColumn("r1",
+      row_number().over(Window.partitionBy("host", "salt").orderBy("priority", "url")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val survivors = r1.filter(col("r1") <= col("__b"))
+    val r2 = survivors.withColumn("r2",
+      row_number().over(Window.partitionBy("host").orderBy("priority", "url")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fetchNow = r2.filter(col("r2") <= col("__b")).select("url", "host", "priority")
+    val defer = r1.filter(col("r1") > col("__b")).select("url", "host", "priority")
+      .union(r2.filter(col("r2") > col("__b")).select("url", "host", "priority"))
+    (fetchNow, defer, Seq(r1, r2))
+  }
 
   /** candidates − seen, with the O-7b bloom fast path: `probe` adds a
     * `maybe_seen` flag (broadcast-sketch expression or sharded shard-file
@@ -240,6 +263,21 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
     val robotsCount = robots.count()
     val hasRobots = robotsCount > 0
 
+    // robots crawl-delay → per-host politeness budget (SURVEY §1.2 schema):
+    // delay d caps a host at max(1, floor(window/d)) fetches per epoch —
+    // double floor(window/d) is exactly the oracle's int(window // d).
+    // NaN and non-positive delays fail the > 0 predicate and impose no cap.
+    val delayBudgets: Option[DataFrame] =
+      if (!hasRobots) None
+      else {
+        val db = robots.filter(col("crawl_delay") > 0.0)
+          .select(col("host"), greatest(lit(1L),
+            floor(lit(config.crawlDelayWindowSec) / col("crawl_delay")))
+            .as("delay_budget"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        if (db.count() == 0) { db.unpersist(); None } else Some(db)
+      }
+
     // Seed gating needs rules only for the SEED hosts — semi-join before
     // collecting, so a 10^8-host robots table never reaches the driver.
     val collectedRules: Map[String, Seq[graft.robots.Robots.Rule]] =
@@ -247,6 +285,7 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       else {
         val seedHosts = seedUrls.map(graft.robots.Robots.hostKey).distinct.toDF("host")
         robots.join(broadcast(seedHosts), Seq("host"), "left_semi")
+          .select("host", "prefixes", "allows")
           .as[(String, Array[String], Array[Boolean])].collect()
           .map { case (h, ps, as) =>
             h -> ps.zip(as).map { case (p, a) => graft.robots.Robots.Rule(p, a) }.toSeq
@@ -358,7 +397,8 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       // 1. politeness gate. The frontier parquet was hash-distributed at
       // write time; no re-shuffle here — the budget window (when enabled)
       // shuffles by (host, salt) itself.
-      val (fetchNowRaw, defer, gateCaches) = politenessSplit(frontier)
+      val (fetchNowRaw, defer, gateCaches) =
+        politenessSplit(frontier, delayBudgets, robotsCount)
 
       // 2. visited delta = fetched this epoch. fetchNowRaw reads straight
       // from the frontier manifest files (1-hop lineage), so the write runs
@@ -550,6 +590,8 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       epoch += 1
     }
 
+    delayBudgets.foreach(_.unpersist())
+    robots.unpersist()
     val visited = store.readTable(snapshot, "visited")
     CrawlResult(
       trace = visited.orderBy("epoch", "url"),

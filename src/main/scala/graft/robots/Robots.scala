@@ -14,6 +14,50 @@ object Robots {
   /** (path_prefix, allow). */
   final case class Rule(prefix: String, allow: Boolean)
 
+  /** Full parse result: rules of the `*` group + its crawl-delay (SURVEY.md
+    * §1.2 robots schema). `crawlDelay` = the LAST crawl-delay value in the
+    * `*` group that Python `float()` accepts.
+    */
+  final case class Parsed(rules: Seq[Rule], crawlDelay: Option[Double])
+
+  /** Python `float(str)` on an already-stripped string; None where float()
+    * raises ValueError. Matches CPython: Unicode decimal digits (category
+    * Nd) normalized to ASCII, single underscores allowed between digits,
+    * inf/infinity/nan (case-insensitive, signed — '-nan' keeps the sign
+    * bit), C-double grammar otherwise. Differentially pinned by the
+    * robots_fuzz vectors.
+    */
+  def pyFloat(s0: String): Option[Double] = {
+    if (s0.isEmpty) return None
+    val sb = new java.lang.StringBuilder(s0.length)
+    var i = 0
+    while (i < s0.length) {
+      val c = s0.charAt(i)
+      if (Character.getType(c) == Character.DECIMAL_DIGIT_NUMBER) {
+        val d = Character.digit(c, 10)
+        if (d < 0) return None
+        sb.append(('0' + d).toChar)
+      } else sb.append(c)
+      i += 1
+    }
+    var s = sb.toString
+    var neg = false
+    if (s.startsWith("+")) s = s.substring(1)
+    else if (s.startsWith("-")) { neg = true; s = s.substring(1) }
+    val low = s.toLowerCase(java.util.Locale.ROOT)
+    if (low == "inf" || low == "infinity")
+      return Some(if (neg) Double.NegativeInfinity else Double.PositiveInfinity)
+    if (low == "nan")
+      // CPython keeps the sign bit of '-nan' (strtod); NaN compare semantics
+      // are signless, but the bit-level contract is pinned by the fuzz TSV
+      return Some(if (neg) -Double.NaN else Double.NaN)
+    // digits with single underscores BETWEEN digits only
+    val D = "\\d(?:_\\d|\\d)*"
+    if (!s.matches(s"(?:$D(?:\\.(?:$D)?)?|\\.$D)(?:[eE][+-]?$D)?")) return None
+    val v = java.lang.Double.parseDouble(s.replace("_", ""))
+    Some(if (neg) -v else v)
+  }
+
   /** Python `str.splitlines()` boundaries — NOT just \n/\r\n: VT FF FS GS RS
     * NEL LS PS all split. The oracle iterates `body.splitlines()`, so a body
     * using exotic separators must parse identically (robots_fuzz differential
@@ -39,15 +83,18 @@ object Robots {
     out.result()
   }
 
-  /** Parse a robots.txt body → rules of the `*` group. Group semantics:
-    * consecutive user-agent lines open a group; any of them being `*`
-    * selects it; a rule line closes the user-agent run. Line splitting and
-    * stripping follow Python `splitlines`/`str.strip` (the oracle's exact
-    * operations — `trim` would miss NBSP/NEL/FS padding).
+  /** Parse a robots.txt body → rules + crawl-delay of the `*` group. Group
+    * semantics: consecutive user-agent lines open a group; any of them being
+    * `*` selects it; a rule line (allow/disallow/crawl-delay) closes the
+    * user-agent run — sitemap-class records are ignored entirely. Line
+    * splitting and stripping follow Python `splitlines`/`str.strip` (the
+    * oracle's exact operations — `trim` would miss NBSP/NEL/FS padding);
+    * crawl-delay values follow Python `float()` ([[pyFloat]]).
     */
-  def parse(body: String): Seq[Rule] = {
+  def parseAll(body: String): Parsed = {
     import graft.html.HtmlTokenizer.pyStrip
     val rules = Seq.newBuilder[Rule]
+    var delay: Option[Double] = None
     var inStar = false
     var seenUaSinceRules = true
     for (raw <- pySplitlines(body)) {
@@ -63,12 +110,17 @@ object Robots {
           case "allow" | "disallow" =>
             seenUaSinceRules = false
             if (inStar && value.nonEmpty) rules += Rule(value, field == "allow")
+          case "crawl-delay" =>
+            seenUaSinceRules = false
+            if (inStar) pyFloat(value).foreach(d => delay = Some(d))
           case _ => ()
         }
       }
     }
-    rules.result()
+    Parsed(rules.result(), delay)
   }
+
+  def parse(body: String): Seq[Rule] = parseAll(body).rules
 
   def allowed(url: String, rules: Seq[Rule]): Boolean = {
     val p = PyUrl.urlparse(url).path

@@ -111,6 +111,15 @@ class FrontierSpec extends AnyFunSuite {
     checkScenario("combo")
   }
 
+  test("delay: robots crawl-delay tightens per-host budgets with no configured budget") {
+    checkScenario("delay")
+    // non-degenerate: without the crawl-delay machinery the same site drains
+    // in ONE content epoch (budget=None) — the 7-epoch golden proves the
+    // delay column alone drives multi-epoch deferral
+    assert(resLines("/sites/delay/frontier_epochs.txt")
+      .map(_.split("\t")(0).toInt).max >= 4)
+  }
+
   test("saveLinks writes a bit-exact links.txt (O-11 sink parity)") {
     val (result, _) = runScenario("basic")
     val out = Files.createTempDirectory("graft-linkstxt-").toString + "/links"

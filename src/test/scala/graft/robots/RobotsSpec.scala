@@ -9,30 +9,42 @@ import org.scalatest.funsuite.AnyFunSuite
   * by the Python oracle in tools/gen_site_fixtures.py): 1250 fuzz vectors
   * over gnarly bodies — exotic line separators (VT/FF/FS/GS/RS/NEL/LS/PS,
   * the Python `splitlines` set), NBSP/FS padding (Python `str.strip`),
-  * comments, garbage lines, multi-group files — each with the oracle's
-  * allow/deny decision (tools/gen_robots_fuzz.py).
+  * comments, garbage lines, multi-group files, crawl-delay values across
+  * the full Python float() grammar — each with the oracle's allow/deny
+  * decision and parsed crawl-delay (tools/gen_robots_fuzz.py).
   */
 class RobotsSpec extends AnyFunSuite {
 
-  test("robots_fuzz.tsv: parse + longest-prefix decisions match the Python oracle") {
+  test("robots_fuzz.tsv: parse + longest-prefix decisions + crawl-delay match the Python oracle") {
     val in = getClass.getResourceAsStream("/vectors/robots_fuzz.tsv")
     require(in != null)
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     val rows = try src.getLines().drop(1).map { line =>
-      val Array(b64, url, allowed) = line.split("\t", -1)
-      (new String(Base64.getDecoder.decode(b64), UTF_8), url, allowed == "1")
+      val Array(b64, url, allowed, delay) = line.split("\t", -1)
+      (new String(Base64.getDecoder.decode(b64), UTF_8), url, allowed == "1", delay)
     }.toVector finally src.close()
     assert(rows.size >= 1000)
     var blocked = 0
-    val ruleCache = scala.collection.mutable.HashMap.empty[String, Seq[Robots.Rule]]
-    rows.foreach { case (body, url, want) =>
-      val rules = ruleCache.getOrElseUpdate(body, Robots.parse(body))
-      val got = Robots.allowed(url, rules)
+    var withDelay = 0
+    val parseCache = scala.collection.mutable.HashMap.empty[String, Robots.Parsed]
+    rows.foreach { case (body, url, want, wantDelay) =>
+      val parsed = parseCache.getOrElseUpdate(body, Robots.parseAll(body))
+      val got = Robots.allowed(url, parsed.rules)
       assert(got == want,
-        s"decision mismatch for url=$url body=${escape(body)} rules=$rules")
+        s"decision mismatch for url=$url body=${escape(body)} rules=${parsed.rules}")
       if (!want) blocked += 1
+      // delay column: '' = none, 'nan' = any NaN, else IEEE-754 bit hex
+      val gotDelay = parsed.crawlDelay match {
+        case None => ""
+        case Some(d) if d.isNaN => "nan"
+        case Some(d) => f"${java.lang.Double.doubleToRawLongBits(d)}%016x"
+      }
+      assert(gotDelay == wantDelay,
+        s"crawl-delay mismatch ($gotDelay vs $wantDelay) for body=${escape(body)}")
+      if (wantDelay.nonEmpty) withDelay += 1
     }
     assert(blocked >= 40) // the corpus genuinely exercises deny paths
+    assert(withDelay >= 40) // ...and the crawl-delay float grammar
   }
 
   private def escape(s: String): String =

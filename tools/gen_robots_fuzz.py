@@ -1,19 +1,31 @@
 #!/usr/bin/env python3
 """Robots-parser fuzz vectors: random robots.txt bodies (gnarly whitespace,
-exotic line separators, comments, garbage lines, multi-group files) run
-through the Python contract oracle (tools/gen_site_fixtures.py parse_robots/
-robots_allowed), emitting (body, url) -> allowed decisions.
+exotic line separators, comments, garbage lines, multi-group files,
+crawl-delay values across the full Python float() grammar) run through the
+Python contract oracle (tools/gen_site_fixtures.py parse_robots_full/
+robots_allowed), emitting (body, url) -> allowed decisions plus the parsed
+crawl-delay.
 
 Output: src/test/resources/vectors/robots_fuzz.tsv
-  body_b64 \t url \t allowed(0|1)
+  body_b64 \t url \t allowed(0|1) \t delay
+  delay: '' = none, 'nan' = any NaN, else big-endian IEEE-754 bit hex
 """
 import base64
 import os
 import random
+import struct
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from gen_site_fixtures import parse_robots, robots_allowed  # noqa: E402
+from gen_site_fixtures import parse_robots_full, robots_allowed  # noqa: E402
+
+
+def delay_repr(d):
+    if d is None:
+        return ""
+    if d != d:  # NaN: canonical (sign bit is parser-internal noise)
+        return "nan"
+    return struct.pack(">d", d).hex()
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(ROOT, "src/test/resources/vectors/robots_fuzz.tsv")
@@ -23,10 +35,17 @@ def main():
     r = random.Random(20260816)
     fields = ["User-agent", "user-agent", "USER-AGENT", "Useragent",
               "Allow", "allow", "ALLOW", "Disallow", "disallow", "DISALLOW",
-              "Crawl-delay", "Sitemap", "foo"]
+              "Crawl-delay", "crawl-delay", "CRAWL-DELAY", "Sitemap", "foo"]
     agents = ["*", "other-bot", "graft", "**", ""]
     values = ["/", "/a", "/a/b", "/ab", "/a b", "/private/", "/private/ok",
               "", "/tmp", "x", "/%7Ej", "/a#notvalue", "/:", "*"]
+    # crawl-delay values spanning the Python float() grammar: plain, signed,
+    # exponents, bare-dot forms, underscores, inf/nan, unicode digits,
+    # rejections (empty, garbage, bad underscores, hex, internal space)
+    delays = ["1", "2.5", "10", "0", "-3", "007", "1e1", "1E-1", ".5", "5.",
+              "1.e2", "1_0", "1_0.2_5", "6e1", "+30", "inf", "-Infinity",
+              "nan", "-nan", "٣٠", "", "abc", "1__0", "_1", "1_",
+              "1 0", "0x10", "1d", ".", "+", "30#x"]
     # strip() in the oracle is Python str.strip: includes NBSP, FS, NEL
     pads = ["", " ", "\t", "\u00a0", "  ", "\x1c", "\x85"]
     # splitlines() boundaries beyond \n/\r\n: VT FF FS GS RS NEL LS PS
@@ -50,7 +69,12 @@ def main():
                 # decision space is dense; the rest sample the full pool
                 f = (r.choice(["Allow", "Disallow", "Disallow"])
                      if r.random() < 0.5 else r.choice(fields))
-                v = r.choice(agents) if "gent" in f.lower() else r.choice(values)
+                if "gent" in f.lower():
+                    v = r.choice(agents)
+                elif "delay" in f.lower():
+                    v = r.choice(delays)
+                else:
+                    v = r.choice(values)
                 line = (r.choice(pads) + f + r.choice(pads) + ":" +
                         r.choice(pads) + v + r.choice(pads) + r.choice(comments))
             elif kind < 0.7:
@@ -61,18 +85,21 @@ def main():
                 line = f + ":" + r.choice(values) + r.choice(comments)
             parts.append(line + r.choice(seps))
         body = "".join(parts)
-        rules = parse_robots(body)
+        rules, delay = parse_robots_full(body)
         for p in r.sample(query_paths, 5):
             url = "https://h.example.com" + p
-            rows.append((body, url, 1 if robots_allowed(url, rules) else 0))
+            rows.append((body, url, 1 if robots_allowed(url, rules) else 0,
+                         delay_repr(delay)))
 
     with open(OUT, "w", encoding="utf-8") as f:
-        f.write("body_b64\turl\tallowed\n")
-        for body, url, a in rows:
+        f.write("body_b64\turl\tallowed\tdelay\n")
+        for body, url, a, dl in rows:
             f.write(base64.b64encode(body.encode("utf-8")).decode("ascii") +
-                    f"\t{url}\t{a}\n")
-    blocked = sum(1 for _, _, a in rows if a == 0)
-    print(f"{len(rows)} vectors ({blocked} blocked) -> {OUT}")
+                    f"\t{url}\t{a}\t{dl}\n")
+    blocked = sum(1 for _, _, a, _ in rows if a == 0)
+    with_delay = sum(1 for _, _, _, dl in rows if dl)
+    print(f"{len(rows)} vectors ({blocked} blocked, {with_delay} with "
+          f"crawl-delay) -> {OUT}")
 
 
 if __name__ == "__main__":

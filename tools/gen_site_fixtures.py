@@ -87,9 +87,21 @@ def host_key(url):
 
 
 # ---- robots (RFC 9309-lite, '*' group only) ---------------------------------
-def parse_robots(body):
-    """→ list of (path_prefix, allow: bool) for agent group '*'."""
+# per-epoch politeness window: a host with crawl-delay d gets at most
+# max(1, floor(EPOCH_WINDOW_SEC / d)) fetches per epoch (min with any
+# configured budget). Mirrored by CrawlConfig.crawlDelayWindowSec.
+EPOCH_WINDOW_SEC = 60.0
+
+
+def parse_robots_full(body):
+    """→ (rules, crawl_delay) for agent group '*'. rules = list of
+    (path_prefix, allow). crawl_delay = the LAST crawl-delay value in the
+    '*' group that Python float() accepts (None otherwise). A crawl-delay
+    line closes a user-agent run exactly like a rule line (it is a group
+    member line, unlike sitemap-class records which are ignored entirely).
+    """
     rules = []
+    delay = None
     in_star = False
     seen_ua_since_rules = True
     for raw in body.splitlines():
@@ -109,7 +121,19 @@ def parse_robots(body):
             seen_ua_since_rules = False
             if in_star and value:
                 rules.append((value, field == "allow"))
-    return rules
+        elif field == "crawl-delay":
+            seen_ua_since_rules = False
+            if in_star:
+                try:
+                    delay = float(value)
+                except ValueError:
+                    pass
+    return rules, delay
+
+
+def parse_robots(body):
+    """→ list of (path_prefix, allow: bool) for agent group '*'."""
+    return parse_robots_full(body)[0]
 
 
 def robots_allowed(url, rules):
@@ -134,13 +158,28 @@ def crawl(pages, domain, budget=None, seeds=None, depth_priority=False):
     """
     seeds = seeds or [f"https://{domain}"]
     robots_rules = {}  # host → rules
+    robots_delay = {}  # host → crawl-delay (valid, > 0 only)
     for url, body in pages.items():
         p = urlparse(url)
         if p.path == "/robots.txt":
-            robots_rules[host_key(url)] = parse_robots(body.decode("utf-8"))
+            rules, delay = parse_robots_full(body.decode("utf-8"))
+            robots_rules[host_key(url)] = rules
+            if delay is not None and delay > 0:
+                robots_delay[host_key(url)] = delay
 
     def allowed(u):
         return robots_allowed(u, robots_rules.get(host_key(u), []))
+
+    def host_budget(h):
+        """Effective per-epoch budget for host h: the configured budget
+        tightened by crawl-delay (delay d ⇒ max(1, floor(window/d))
+        fetches per epoch). None = unbounded."""
+        eff = budget
+        d = robots_delay.get(h)
+        if d is not None:
+            db = max(1, int(EPOCH_WINDOW_SEC // d))
+            eff = db if eff is None else min(eff, db)
+        return eff
 
     visited = []
     visited_set = set()
@@ -156,12 +195,13 @@ def crawl(pages, domain, budget=None, seeds=None, depth_priority=False):
     epoch_idx = 0
     while frontier:
         epochs.append([u for _, u in frontier])
-        if budget is not None:
+        if budget is not None or robots_delay:
             taken = {}
             fetch_now, defer = [], []
             for pu in frontier:  # frontier already (priority, url)-sorted
                 h = host_key(pu[1])
-                if taken.get(h, 0) < budget:
+                b = host_budget(h)
+                if b is None or taken.get(h, 0) < b:
                     taken[h] = taken.get(h, 0) + 1
                     fetch_now.append(pu)
                 else:
@@ -287,6 +327,37 @@ def site_robots():
         f"https://{d}/tmpfile": page([]),  # Disallow:/tmp is a prefix → blocked
         f"https://{d}/tmp/x": page([]),
     }
+    return d, pages, None
+
+
+def site_delay():
+    """crawl-delay tightens per-host budgets with NO configured budget:
+    apex has Crawl-delay 30 (→ 2 fetches/epoch), slow.example.com has
+    Crawl-delay 60 (→ 1/epoch), fast.example.com has no robots (unbounded).
+    Multi-epoch deferral driven purely by the robots crawl-delay column."""
+    d = "example.com"
+    apex_robots = "\n".join([
+        "User-agent: *",
+        "Crawl-delay: 30",
+        "Disallow: /blocked",
+    ]).encode("utf-8")
+    slow_robots = b"User-agent: *\nCrawl-delay: 60\n"
+    pages = {
+        f"https://{d}/robots.txt": apex_robots,
+        f"https://slow.{d}/robots.txt": slow_robots,
+        f"https://{d}": page([f"/a{i}" for i in range(5)] +
+                             [f"https://slow.{d}/s{i}" for i in range(3)] +
+                             [f"https://fast.{d}/f{i}" for i in range(4)] +
+                             ["/blocked1"]),
+    }
+    for i in range(5):
+        pages[f"https://{d}/a{i}"] = page([])
+    for i in range(3):
+        pages[f"https://slow.{d}/s{i}"] = page([f"/s{i}x"])
+        pages[f"https://slow.{d}/s{i}x"] = page([])
+    for i in range(4):
+        pages[f"https://fast.{d}/f{i}"] = page([])
+    pages[f"https://{d}/blocked1"] = page(["/never"])
     return d, pages, None
 
 
@@ -456,6 +527,9 @@ def make_fuzz_site(seed, lo=14, hi=22):
         lines = ["User-agent: *"]
         for pref in prefixes:
             lines.append(("Allow: " if r.random() < 0.3 else "Disallow: ") + pref)
+        if r.random() < 0.4:  # crawl-delay → per-host budget tightening
+            lines.append("Crawl-delay: " + r.choice(
+                ["1", "12.5", "30", "45", "60", "90", "0", "-2", "abc"]))
         pages[f"https://{r.choice(hosts)}/robots.txt"] = "\n".join(lines).encode()
     budget = r.choice([None, 1, 2, 3])
     depth_priority = budget is not None and r.random() < 0.5
@@ -510,6 +584,7 @@ def main():
         "quirks": site_quirks,
         "budget2": site_budget,
         "robots": site_robots,
+        "delay": site_delay,
         "combo": site_combo,
         "multiseed": site_multiseed,
         "priority": site_priority,
