@@ -85,8 +85,23 @@ object HtmlExtract {
     }
   }
 
-  /** Links only — skips text accumulation (hot path of the crawl loop). */
+  /** Links only — skips text accumulation (hot path of the crawl loop).
+    * Eligible documents (UTF-8, no exotic whitespace — the overwhelming
+    * majority) take [[ByteLinkScanner]] directly over the raw bytes, skipping
+    * the bytes→UTF-16 decode entirely; the rest take the decoded-String
+    * tokenizer. Byte ≡ char equivalence is fuzz-pinned by ByteScanSpec.
+    */
   def extractLinks(htmlBytes: Array[Byte]): List[String] =
+    try {
+      val st = ByteLinkScanner.eligibleStart(htmlBytes)
+      if (st >= 0) ByteLinkScanner.scan(htmlBytes, st)
+      else extractLinksViaChars(htmlBytes)
+    } catch { case _: Exception => Nil }
+
+  /** The decoded-String links path — fallback target and the byte scanner's
+    * differential reference (ByteScanSpec).
+    */
+  private[graft] def extractLinksViaChars(htmlBytes: Array[Byte]): List[String] =
     try {
       val c = new Collector(collectText = false)
       HtmlTokenizer.parse(decode(htmlBytes), c)

@@ -62,6 +62,9 @@ object ExtractProfile {
     time("extractLinks e2e", 5) { () =>
       var a = 0L; htmls.foreach(h => a += HtmlExtract.extractLinks(h).size); a
     }
+    time("linksViaChars e2e", 5) { () =>
+      var a = 0L; htmls.foreach(h => a += HtmlExtract.extractLinksViaChars(h).size); a
+    }
     time("extract e2e", 3) { () =>
       var a = 0L; htmls.foreach(h => a += HtmlExtract.extract(h)._2.length); a
     }
