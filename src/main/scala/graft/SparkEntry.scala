@@ -193,6 +193,9 @@ object SparkEntry {
         "embedding", k = 5, planes = 8)
     },
     "q_ann_ivf" -> { (s, d) =>
+      // production shape (nProbe < nLists). The deterministic trainer makes
+      // even this configuration fully oracle-able: OracleIvfSql unrolls the
+      // k-means iterations in DuckDB CTEs.
       val e = s.read.parquet(t(d, "embeddings"))
       graft.operators.SimSearchIvf.ivfTopK(e, e.filter(col("vec_id") < 20),
         "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
@@ -357,6 +360,8 @@ object SparkEntry {
          FROM embeddings e1, embeddings e2
          WHERE e1.vec_id < e2.vec_id
          AND list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) >= 0.3""",
+    "q_ann_ivf" ->
+      OracleIvfSql.ivfTopK(k = 5, nLists = 16, nProbe = 4, queryMaxId = 20),
     "q_ann_ivf_exactk" ->
       // nProbe = nLists makes IVF brute-equivalent, so the exact top-k SQL
       // (the q_ann_brute twin) is its oracle
