@@ -567,7 +567,7 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       snapshot = store.commit(epoch, Map(
         "frontier" -> fState, "visited" -> vState,
         "links" -> lState, "suppressed" -> sState),
-        Map(
+        metrics = Map(
           "urls_in" -> frontierCount,
           "fetched" -> vState.deltaRows,
           "deferred" -> (frontierCount - vState.deltaRows),
@@ -579,7 +579,8 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
           (if (pagesFilesRead >= 0)
             Map("pages_files_read" -> pagesFilesRead,
               "pages_files_total" -> bucketed.get.totalFiles.toLong)
-          else Map.empty[String, Long]))
+          else Map.empty[String, Long]),
+        parent = Some(snapshot))
 
       candidates.unpersist()
       cleanLinks.unpersist()

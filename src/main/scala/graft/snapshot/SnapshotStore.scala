@@ -34,7 +34,12 @@ object SnapshotStore {
     * BEFORE spark.read); -1 = unbucketed.
     */
   final case class DataFile(path: String, rows: Long, bucket: Int = -1)
-  final case class TableState(dataFiles: Seq[DataFile], deltaRows: Long, totalRows: Long) {
+  /** `schemaJson` (Spark StructType JSON) lets readers skip parquet-footer
+    * schema inference — at small epochs the per-epoch driver cost was
+    * dominated by re-inferring the fixed state-table schemas.
+    */
+  final case class TableState(dataFiles: Seq[DataFile], deltaRows: Long,
+      totalRows: Long, schemaJson: String = null) {
     def files: Seq[String] = dataFiles.map(_.path)
   }
   final case class Snapshot(
@@ -74,22 +79,36 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       .map(_.getPath.toString)
       .sorted
     // per-file row counts from parquet footers, driver-side — no Spark job;
-    // one file = one write partition, so this IS the per-partition lineage
-    val dataFiles = paths.map { fp =>
-      DataFile(fp, parquetRowCount(new Path(fp), hconf))
+    // one file = one write partition, so this IS the per-partition lineage.
+    // Footers are read concurrently: ~32 serial opens cost 100-200 ms per
+    // write, a visible slice of small-epoch latency.
+    val dataFiles = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence(paths.map(fp => Future {
+          DataFile(fp, parquetRowCount(new Path(fp), hconf))
+        })), scala.concurrent.duration.Duration.Inf)
     }
     val deltaRows = dataFiles.map(_.rows).sum
     val parentFiles = if (fullRewrite) Nil else parent.map(_.dataFiles).getOrElse(Nil)
     val parentRows = if (fullRewrite) 0L else parent.map(_.totalRows).getOrElse(0L)
-    TableState(parentFiles ++ dataFiles, deltaRows, parentRows + deltaRows)
+    TableState(parentFiles ++ dataFiles, deltaRows, parentRows + deltaRows,
+      delta.schema.json)
   }
 
-  /** Read a table through the manifest's file list (never the directory). */
+  /** Read a table through the manifest's file list (never the directory);
+    * the manifest schema skips footer inference when present.
+    */
   def readTable(s: Snapshot, table: String): DataFrame = {
     val st = s.tables(table)
     if (st.files.isEmpty)
       throw new IllegalStateException(s"table $table has no files in snapshot ${s.snapshotId}")
-    spark.read.parquet(st.files: _*)
+    val reader =
+      if (st.schemaJson == null) spark.read
+      else spark.read.schema(org.apache.spark.sql.types.DataType
+        .fromJson(st.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType])
+    reader.parquet(st.files: _*)
   }
 
   def readTableOrEmpty(s: Snapshot, table: String, schemaOf: DataFrame): DataFrame = {
@@ -100,8 +119,15 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   }
 
   def commit(epoch: Int, tables: Map[String, TableState],
-      metrics: Map[String, Long]): Snapshot = {
-    val parent = latest()
+      metrics: Map[String, Long]): Snapshot =
+    commit(epoch, tables, metrics, latest())
+
+  /** `parent` supplied by the caller skips the per-commit manifest-directory
+    * scan (latest() parses every snap-*.json — O(epochs) driver work that
+    * compounds to O(epochs²) over a long crawl).
+    */
+  def commit(epoch: Int, tables: Map[String, TableState],
+      metrics: Map[String, Long], parent: Option[Snapshot]): Snapshot = {
     val snap = Snapshot(
       snapshotId = epoch.toLong,
       parentId = parent.map(_.snapshotId).getOrElse(-1L),
@@ -117,6 +143,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       val o = tnode.putObject(name)
       o.put("delta_rows", st.deltaRows)
       o.put("total_rows", st.totalRows)
+      if (st.schemaJson != null) o.put("schema", st.schemaJson)
       val arr = o.putArray("files")
       st.dataFiles.foreach { df =>
         val fo = arr.addObject()
@@ -173,7 +200,9 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         DataFile(fn.get("path").asText(), fn.get("rows").asLong(),
           Option(fn.get("bucket")).map(_.asInt()).getOrElse(-1))
       }.toSeq
-      name -> TableState(files, o.get("delta_rows").asLong(), o.get("total_rows").asLong())
+      name -> TableState(files, o.get("delta_rows").asLong(),
+        o.get("total_rows").asLong(),
+        Option(o.get("schema")).map(_.asText()).orNull)
     }.toMap
     val metrics = Option(node.get("metrics")).map { m: JsonNode =>
       m.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
