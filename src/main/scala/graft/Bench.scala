@@ -121,7 +121,8 @@ object Bench {
     import graft.snapshot.BucketedPages
     val domain = "example.com"
     val buckets = math.max(64L, nPages / 2000L).toInt
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-$nPages-$buckets"
+    // v2: manifest carries the robots-bucket stat
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed2-$nPages-$buckets"
     val bp =
       if (BucketedPages.manifestExists(spark, dir)) BucketedPages.load(spark, dir)
       else BucketedPages.adopt(spark,

@@ -236,7 +236,7 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
     run(pages, Seq(seedUrl), warehouse)
 
   def run(pages: DataFrame, seedUrls: Seq[String], warehouse: String): CrawlResult =
-    runSource(pages, None, seedUrls, warehouse)
+    runSource(() => pages, None, seedUrls, warehouse)
 
   /** Bucket-manifest pages source: each epoch's fetch join pre-selects data
     * files against the frontier's bucket set before spark.read — the scan
@@ -247,20 +247,38 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
     run(pages, Seq(seedUrl), warehouse)
 
   def run(pages: BucketedPages, seedUrls: Seq[String], warehouse: String): CrawlResult =
-    runSource(pages.full, Some(pages), seedUrls, warehouse)
+    runSource(() => pages.full, Some(pages), seedUrls, warehouse)
 
   /** Run the crawl to fixpoint (≡ queue.join(), crawler.py:85) from a SEED
     * LIST (north_star: "given the same seed list"), committing a snapshot
     * per epoch under `warehouse`. Resumes from the newest valid snapshot if
     * one exists. Epoch-0 frontier = sorted distinct allowed seeds.
+    *
+    * `pagesPlain` is a THUNK: a bucketed run never materializes the
+    * whole-table frame (whose spark.read eagerly lists every data file on
+    * the driver — the manifest makes that listing unnecessary).
     */
-  private def runSource(pages: DataFrame, bucketed: Option[BucketedPages],
+  private def runSource(pagesPlain: () => DataFrame, bucketed: Option[BucketedPages],
       seedUrls: Seq[String], warehouse: String): CrawlResult = {
+    lazy val pages: DataFrame = pagesPlain()
     val store = new SnapshotStore(spark, warehouse)
-    val robots = robotsTable(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    // url-only robots existence probe: parsing robots needs the html column,
+    // and a predicate on url cannot row-group-prune an endsWith match — so a
+    // corpus with NO robots.txt files would pay a full url+html scan just to
+    // learn that. Probe the url column alone first (a few % of the bytes;
+    // superset filter of robotsTable's exact path=="/robots.txt" check) and
+    // parse only when candidates exist.
+    // a bucket-manifest source additionally narrows the probe to the buckets
+    // its manifest flags as robots-bearing — O(robots files), not O(corpus)
+    val robotsSource = bucketed.map(_.robotsCandidates).getOrElse(pages)
+    val robotsUrlCount = robotsSource
+      .filter(col("url").endsWith("/robots.txt")).select("url").count()
+    val robots: DataFrame =
+      if (robotsUrlCount == 0) null
+      else robotsTable(robotsSource).persist(StorageLevel.MEMORY_AND_DISK)
     // no robots rows (the common case) ⇒ the gate is a constant-true filter
     // and the whole suppression machinery is skipped (2 jobs/epoch saved)
-    val robotsCount = robots.count()
+    val robotsCount = if (robots == null) 0L else robots.count()
     val hasRobots = robotsCount > 0
 
     // robots crawl-delay → per-host politeness budget (SURVEY §1.2 schema):
@@ -592,7 +610,7 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
     }
 
     delayBudgets.foreach(_.unpersist())
-    robots.unpersist()
+    if (robots != null) robots.unpersist()
     val visited = store.readTable(snapshot, "visited")
     CrawlResult(
       trace = visited.orderBy("epoch", "url"),

@@ -28,9 +28,21 @@ final class BucketedPages private (
     spark: SparkSession,
     val dir: String,
     val numBuckets: Int,
-    val files: Seq[DataFile]) {
+    val files: Seq[DataFile],
+    robotsBuckets: Option[Set[Int]]) {
 
   require(files.forall(_.bucket >= 0), "bucketed manifest has unbucketed files")
+
+  /** The rows that can possibly be robots.txt pages, read through the
+    * manifest's robots-bucket stat: robots discovery then costs O(robots
+    * files), not a corpus-wide url scan (2000 file opens at sandbox scale;
+    * a 100 TB listing at real scale). Manifests without the stat (older
+    * adopt) fall back to the full scan — correct, just unpruned.
+    */
+  def robotsCandidates: DataFrame = robotsBuckets match {
+    case Some(bs) => scanBuckets(bs)
+    case None => full
+  }
 
   /** The bucket of a url Column — MUST match the layout's write-side key. */
   def bucketExpr(url: Column): Column =
@@ -45,7 +57,11 @@ final class BucketedPages private (
     */
   def scanBuckets(buckets: Set[Int]): DataFrame = {
     val picked = files.filter(f => buckets.contains(f.bucket)).map(_.path)
-    if (picked.isEmpty) full.limit(0)
+    if (picked.isEmpty)
+      // a LocalRelation, NOT full.limit(0): the latter would make the driver
+      // list every data file just to produce zero rows
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(picked: _*)
   }
 
@@ -79,6 +95,12 @@ object BucketedPages {
       .repartition(numBuckets, col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(dir)
+    // robots-bucket stat (one-time, at adoption): which buckets can contain
+    // a robots.txt page (superset filter of the parser's exact path check)
+    import spark.implicits._
+    val robotsBuckets = keyed
+      .filter(col("url").endsWith("/robots.txt"))
+      .select(col("__bucket")).distinct().as[Int].collect().toSet
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(hconf)
@@ -94,8 +116,8 @@ object BucketedPages {
           }
       }
       .sortBy(f => (f.bucket, f.path))
-    writeManifest(fs, root, numBuckets, files)
-    new BucketedPages(spark, dir, numBuckets, files)
+    writeManifest(fs, root, numBuckets, files, robotsBuckets)
+    new BucketedPages(spark, dir, numBuckets, files, Some(robotsBuckets))
   }
 
   /** Load an adopted table from its manifest (no data listing). */
@@ -109,7 +131,11 @@ object BucketedPages {
       DataFile(fn.get("path").asText(), fn.get("rows").asLong(),
         fn.get("bucket").asInt())
     }.toSeq
-    new BucketedPages(spark, dir, node.get("num_buckets").asInt(), files)
+    val robotsBuckets = Option(node.get("robots_buckets")).map { arr =>
+      arr.asInstanceOf[ArrayNode].asScala.map(_.asInt()).toSet
+    }
+    new BucketedPages(spark, dir, node.get("num_buckets").asInt(), files,
+      robotsBuckets)
   }
 
   def manifestExists(spark: SparkSession, dir: String): Boolean = {
@@ -118,11 +144,13 @@ object BucketedPages {
   }
 
   private def writeManifest(fs: FileSystem, root: Path, numBuckets: Int,
-      files: Seq[DataFile]): Unit = {
+      files: Seq[DataFile], robotsBuckets: Set[Int]): Unit = {
     val mapper = new ObjectMapper
     val node = mapper.createObjectNode()
     node.put("num_buckets", numBuckets)
     node.put("key", "pmod(xxhash64(url), num_buckets)")
+    val rb = node.putArray("robots_buckets")
+    robotsBuckets.toSeq.sorted.foreach(rb.add)
     val arr = node.putArray("files")
     files.foreach { f =>
       val fo = arr.addObject()
