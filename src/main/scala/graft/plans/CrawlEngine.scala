@@ -516,11 +516,18 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       // deferred and rediscovered keeps its MINIMUM priority — groupBy-min
       // rather than dropDuplicates, whose surviving row is nondeterministic.
       val newPriority = if (config.depthPriority) (epoch + 1).toLong else 0L
-      val candidates = gated.filter(col("allowed"))
+      // grouping is by url ALONE (host is a pure function of url on every
+      // input row, so the groups are identical and max(host) is exact):
+      // the links-distinct upstream already hash-partitioned by url, and
+      // with no deferred union in the plan Catalyst reuses that exchange —
+      // the candidate set crosses the wire once, not twice, per epoch
+      val base = gated.filter(col("allowed"))
         .select(col("url"), col("host"), lit(newPriority).as("priority"))
-        .union(defer)
-        .groupBy(col("url"), col("host"))
-        .agg(min(col("priority")).as("priority"))
+      val unioned = if (gateCaches.isEmpty) base else base.union(defer)
+      val candidates = unioned
+        .groupBy(col("url"))
+        .agg(min(col("priority")).as("priority"), max(col("host")).as("host"))
+        .select(col("url"), col("host"), col("priority"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // BASELINE.json metric numerator (URLs scheduled + entering dedup).
       // Counting FIRST materializes the candidates cache, so the fixpoint

@@ -134,6 +134,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("candidate groupBy reuses the links-distinct url partitioning (one exchange)") {
+    // the CrawlEngine no-politeness shape: distinct(url) → in-domain filter →
+    // host projection → groupBy(url). host is a function of url, so grouping
+    // by url alone lets the groupBy consume the distinct's hash partitioning
+    // — a second candidate-set shuffle per epoch would show up here
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.plans.planfns._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val links = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(concat(lit("https://example.com/d/"), col("doc_id")).as("url"))
+        .distinct()
+      val cand = links
+        .filter(url_in_domain(col("url"), lit("example.com")))
+        .withColumn("host", host_key(col("url")))
+        .select(col("url"), col("host"), lit(0L).as("priority"))
+        .groupBy(col("url"))
+        .agg(min(col("priority")).as("priority"), max(col("host")).as("host"))
+      val exchanges = cand.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.size == 1,
+        s"expected the distinct's single url exchange, found ${exchanges.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("extraction chain stays in one codegen span (no UDF boundary)") {
     import graft.html.htmlfns._
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
