@@ -28,6 +28,11 @@ import graft.url.urlfns._
   *                        maintained with per-epoch deltas — so it always
   *                        covers every visited URL (no-false-negative
   *                        invariant).
+  * @param bloomExpectedTotal broadcast-bloom design capacity; a crawl that
+  *                        outgrows it triggers an automatic rebuild from the
+  *                        full seen set at 2× the running estimate (FPP is
+  *                        restored; correctness never depended on it — the
+  *                        anti-join is authoritative)
   * @param bloomShards     url-hash buckets for the sharded file-backed sketch
   * @param bloomFileProbe  Some(true) forces the sharded shard-file probe
   *                        (the 10^10-scale path: no monolithic broadcast),
@@ -378,6 +383,9 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
     var seenSketch: BloomSketch = null
     var seenCuckoo: graft.sketch.SeenSketch = null
     var sketchActive = false
+    // broadcast-bloom capacity — grows by rebuild when the crawl outgrows
+    // the configured expectation (see the resize branch below)
+    var sketchCapacity = config.bloomExpectedTotal
     def mergeIntoSketch(urls: DataFrame): Unit = {
       // few, larger leaf tasks: every treeAggregate leaf ships one
       // full-size sketch, so bound the leaf count rather than the row count
@@ -394,8 +402,9 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         seenCuckoo.merge(
           graft.sketch.SeenSketch.build(deltaRdd, config.bloomExpectedTotal))
       } else {
-        if (seenSketch == null) seenSketch = new BloomSketch(sketchBits, sketchHashes)
-        seenSketch.merge(BloomSketch.build(deltaRdd, config.bloomExpectedTotal, config.bloomFpp))
+        if (seenSketch == null)
+          seenSketch = BloomSketch.forExpected(sketchCapacity, config.bloomFpp)
+        seenSketch.merge(BloomSketch.build(deltaRdd, sketchCapacity, config.bloomFpp))
       }
     }
 
@@ -542,7 +551,17 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         .union(fetchNow.select("url"))
       val seenCountNow = visitedRows + frontierCount // upper bound estimate
       if (candidatesIn > 0) {
-        if (sketchActive) mergeIntoSketch(fetchNow) // maintain full coverage
+        if (sketchActive && !fileProbe && !useCuckoo && seenCountNow > sketchCapacity) {
+          // outgrown: a bloom at >1× its design load answers maybe for nearly
+          // everything (correct — the anti-join is authoritative — but it
+          // stops pruning). Rebuild from the FULL seen set at 2× the current
+          // estimate, restoring the configured FPP. The sharded file sketch
+          // has fixed geometry (the 10^10 path is pre-sized per BASELINE.md)
+          // and cuckoo has its own degrade-to-maybe story.
+          sketchCapacity = math.max(seenCountNow * 2, sketchCapacity * 2)
+          seenSketch = null
+          mergeIntoSketch(visitedAll)
+        } else if (sketchActive) mergeIntoSketch(fetchNow) // maintain full coverage
         else if (seenCountNow >= config.bloomMinSeen) {
           mergeIntoSketch(visitedAll) // first activation: cover ALL seen urls
           sketchActive = true
@@ -600,6 +619,7 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
           "new_suppressed" -> sState.deltaRows,
           "candidates_in" -> candidatesIn,
           "next_frontier" -> fState.deltaRows,
+          "sketch_capacity" -> (if (sketchActive) sketchCapacity else 0L),
           "wall_ms" -> wallMs) ++ stepMs ++
           (if (pagesFilesRead >= 0)
             Map("pages_files_read" -> pagesFilesRead,

@@ -53,6 +53,22 @@ class BloomModeSpec extends AnyFunSuite {
     assert((trace, links) == plain)
   }
 
+  test("broadcast bloom auto-resizes when the crawl outgrows bloomExpectedTotal") {
+    // 24 urls vs a sketch designed for 8: the resize branch must rebuild
+    // from the full seen set (results stay exact) and the recorded capacity
+    // must have grown past the configured expectation
+    val wh = Files.createTempDirectory("graft-bloomresize-").toString
+    val r = new CrawlEngine(spark, CrawlConfig(domain, numPartitions = 4,
+      bloomMinSeen = 4, bloomExpectedTotal = 8))
+      .run(cyclicPages, s"https://$domain/p/0", wh)
+    val got = (r.trace.select("epoch", "url").as[(Int, String)].collect().toSeq,
+      r.links.select("url").orderBy("url").as[String].collect().toSeq)
+    assert(got == plain)
+    val cap = new graft.snapshot.SnapshotStore(spark, wh)
+      .latest().get.metrics("sketch_capacity")
+    assert(cap > 8, s"sketch capacity never grew: $cap")
+  }
+
   test("sharded shard-file probe ≡ broadcast probe ≡ plain anti-join") {
     val wh = Files.createTempDirectory("graft-bloomfile-").toString
     val r = new CrawlEngine(spark, CrawlConfig(domain, numPartitions = 4,
