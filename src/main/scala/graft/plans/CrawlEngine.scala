@@ -526,17 +526,20 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       // rather than dropDuplicates, whose surviving row is nondeterministic.
       val newPriority = if (config.depthPriority) (epoch + 1).toLong else 0L
       // grouping is by url ALONE (host is a pure function of url on every
-      // input row, so the groups are identical and max(host) is exact):
+      // input row — frontier rows were keyed with the same host_key — so
+      // the groups are identical and host is recomputed after the agg):
       // the links-distinct upstream already hash-partitioned by url, and
       // with no deferred union in the plan Catalyst reuses that exchange —
-      // the candidate set crosses the wire once, not twice, per epoch
+      // the candidate set crosses the wire once, not twice, per epoch, and
+      // the rows that do cross carry (url, priority) only
       val base = gated.filter(col("allowed"))
-        .select(col("url"), col("host"), lit(newPriority).as("priority"))
-      val unioned = if (gateCaches.isEmpty) base else base.union(defer)
+        .select(col("url"), lit(newPriority).as("priority"))
+      val unioned =
+        if (gateCaches.isEmpty) base else base.union(defer.select("url", "priority"))
       val candidates = unioned
         .groupBy(col("url"))
-        .agg(min(col("priority")).as("priority"), max(col("host")).as("host"))
-        .select(col("url"), col("host"), col("priority"))
+        .agg(min(col("priority")).as("priority"))
+        .select(col("url"), host_key(col("url")).as("host"), col("priority"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // BASELINE.json metric numerator (URLs scheduled + entering dedup).
       // Counting FIRST materializes the candidates cache, so the fixpoint

@@ -149,10 +149,10 @@ class PlanSpec extends AnyFunSuite {
         .distinct()
       val cand = links
         .filter(url_in_domain(col("url"), lit("example.com")))
-        .withColumn("host", host_key(col("url")))
-        .select(col("url"), col("host"), lit(0L).as("priority"))
+        .select(col("url"), lit(0L).as("priority"))
         .groupBy(col("url"))
-        .agg(min(col("priority")).as("priority"), max(col("host")).as("host"))
+        .agg(min(col("priority")).as("priority"))
+        .select(col("url"), host_key(col("url")).as("host"), col("priority"))
       val exchanges = cand.queryExecution.executedPlan
         .collect { case e: ShuffleExchangeExec => e }
       assert(exchanges.size == 1,
