@@ -48,6 +48,21 @@ object EventStream {
         col("window.end").as("window_end"), col("event_type"),
         col("cnt"), col("total_value"))
 
+  /** Ingest-time exact dedup with BOUNDED state — the streaming face of the
+    * URL-seen problem (the reference's unbounded in-heap visited set): the
+    * first record per key is emitted, later duplicates arriving within the
+    * watermark horizon are dropped, and per-key state older than the
+    * watermark is evicted, so state size tracks the horizon, not the stream.
+    * Duplicates straggling in beyond the watermark are late data by contract
+    * (same drop rule as windowed aggregation).
+    */
+  def dedupeStream(events: DataFrame, keys: Seq[String] = Seq("event_id"),
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * when no event arrives for `gapMinutes` of event time (enforced by an
     * event-time timeout keyed to the watermark).

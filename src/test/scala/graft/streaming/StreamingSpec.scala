@@ -43,6 +43,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup: first record per key wins, within-watermark duplicates drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream.dedupeStream(input.toDF(), keys = Seq("event_id"),
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 10, "click", 1.0),
+        Event(1, ts(1), 10, "click", 1.0), // dup id, later ts → dropped
+        Event(2, ts(2), 11, "view", 2.0))
+      query.processAllAvailable()
+      input.addData(
+        Event(2, ts(3), 11, "view", 2.0), // dup across batches → dropped
+        Event(3, ts(4), 12, "click", 3.0))
+      query.processAllAvailable()
+      val got = spark.table("deduped").select("event_id").as[Long]
+        .collect().sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L), got.toString)
+    } finally query.stop()
+  }
+
   test("sessionize closes sessions on event-time gaps and via timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
