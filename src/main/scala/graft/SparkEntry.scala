@@ -113,6 +113,38 @@ object SparkEntry {
           unix_micros(min(col("ts")).cast("timestamp")).as("first_us"),
           unix_micros(max(col("ts")).cast("timestamp")).as("last_us"))
     },
+    "q_stream_dedup" -> { (s, d) =>
+      // REAL Structured Streaming execution (MemoryStream → watermarked
+      // dropDuplicatesWithinWatermark → memory sink), not a batch twin:
+      // every event is fed TWICE across two micro-batches; the dedup must
+      // restore exactly the original rows (duplicates are identical, so the
+      // within-batch winner is deterministic; event_id is unique in the
+      // table). The DuckDB oracle is then just the events table itself.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = s.read.parquet(t(d, "events"))
+        .select(col("event_id"), col("ts").cast("timestamp"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.EventStream.Event].collect().toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.EventStream.Event]
+      val sink = s"q_stream_dedup_sink_${System.nanoTime()}"
+      val q = graft.streaming.EventStream
+        .dedupeStream(input.toDF(), keys = Seq("event_id"), watermark = "10 minutes")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        input.addData(ev)
+        q.processAllAvailable()
+        input.addData(ev) // full duplicate batch — cross-batch dedup state
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+        // materialize: the memory sink table is session-state the driver's
+        // parquet write should not race with a stopped query's cleanup
+        .localCheckpoint(true)
+    },
     "q_stream_window" -> { (s, d) =>
       // batch twin of graft.streaming.EventStream.windowedCounts (same
       // tumbling-window semantics; integer-exact cents for the oracle)
@@ -328,6 +360,9 @@ object SparkEntry {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
          epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
          FROM events GROUP BY user_id""",
+    "q_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS cents FROM events""",
     "q_stream_window" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
          CAST(count(*) AS BIGINT) AS cnt,
