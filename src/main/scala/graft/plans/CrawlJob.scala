@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.plans.CrawlJob graft.jar \
   *     --pages <parquet path|synth:N> --domain <domain> \
   *     --warehouse <dir> [--budget K] [--partitions P] [--max-epochs E] \
-  *     [--buckets B]
+  *     [--buckets B] [--links-out dir [--links-shards N]] [--trace-out dir]
   *
   * `--buckets B` adopts the pages table into the bucket-manifest layout
   * under <warehouse>-pages (one-time; reused on resume via its manifest) so
@@ -76,6 +76,17 @@ object CrawlJob {
         engine.run(bucketedPages, seeds, warehouse)
       case None => engine.run(pages, seeds, warehouse)
     }
+    // reference-parity artifacts (crawler.py links.txt / the visit trace):
+    // --links-out writes the byte-exact single-file sink, or the sharded
+    // range-partitioned form when --links-shards is given (name-order concat
+    // of the shards reproduces the parity bytes)
+    a.get("links-out").foreach { out =>
+      a.get("links-shards").map(_.toInt) match {
+        case Some(shards) => result.saveLinksSharded(out, shards)
+        case None         => result.saveLinks(out)
+      }
+    }
+    a.get("trace-out").foreach(result.saveTrace)
     val links = result.lastSnapshot.tables("links").totalRows
     val visited = result.lastSnapshot.tables("visited").totalRows
     println(s"crawl complete: epochs=${result.epochs} visited=$visited " +
