@@ -442,6 +442,46 @@ object SparkEntry {
              WHEN 3 THEN '/tmp' || doc_id
              ELSE '/' END AS path
            FROM documents)""",
+    // q_clean_urls: urllib in general is not SQL, but THIS query resolves 7
+    // FIXED href shapes against a known base shape — the expected
+    // clean/canonical/netloc/host per (base, href) is hand-compiled below
+    // (the q_robots_gate approach). The row count replays crawlPages():
+    // events has 10^6·sf rows, so n = max(300, min(60000, events/5)).
+    "q_clean_urls" ->
+      """WITH nn AS (
+           SELECT GREATEST(300, LEAST(60000, CAST(count(*) // 5 AS BIGINT))) AS n
+           FROM events
+         ), bases AS (
+           SELECT i,
+             CASE CAST(i % 4 AS INTEGER) WHEN 0 THEN 'example.com'
+               ELSE 'h' || CAST(CAST(i % 4 AS INTEGER) AS VARCHAR) || '.example.com'
+             END AS h
+           FROM (SELECT unnest(generate_series(0, (SELECT n - 1 FROM nn))) AS i)
+         ), rows_ AS (
+           SELECT 'https://' || h || '/p/' || i AS base, h, k, href
+           FROM bases CROSS JOIN (VALUES
+             (1, '../up?z=1#f'), (2, 'next;p'), (3, '//h1.example.com/x'),
+             (4, 'HTTP://CASE.example.com/P?b=2&a=1'), (5, ''),
+             (6, '/abs/./q')) AS t(k, href)
+         )
+         SELECT base, href,
+           CASE k WHEN 1 THEN 'https://' || h || '/up?z=1'
+                  WHEN 2 THEN 'https://' || h || '/p/next'
+                  WHEN 3 THEN 'https://h1.example.com/x'
+                  WHEN 4 THEN 'http://CASE.example.com/P?b=2&a=1'
+                  WHEN 5 THEN base
+                  ELSE 'https://' || h || '/abs/q' END AS clean,
+           CASE k WHEN 1 THEN 'https://' || h || '/up?z=1'
+                  WHEN 2 THEN 'https://' || h || '/p/next'
+                  WHEN 3 THEN 'https://h1.example.com/x'
+                  WHEN 4 THEN 'http://case.example.com/P?a=1&b=2'
+                  WHEN 5 THEN base
+                  ELSE 'https://' || h || '/abs/q' END AS canonical,
+           CASE k WHEN 3 THEN 'h1.example.com'
+                  WHEN 4 THEN 'CASE.example.com' ELSE h END AS netloc,
+           CASE k WHEN 3 THEN 'h1.example.com'
+                  WHEN 4 THEN 'case.example.com' ELSE h END AS host
+         FROM rows_""",
     // wrapping-64-bit hash kernels, emulated exactly in DuckDB via HUGEINT
     // mod-2^64 arithmetic (see OracleHashSql)
     "q_minhash_dedup" ->
