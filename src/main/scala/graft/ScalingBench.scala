@@ -32,10 +32,14 @@ object ScalingBench {
     val mode = if (args.length > 2) args(2) else "steady"
     val reps = if (args.length > 3) args(3).toInt else 3
     val frontierN = if (args.length > 4) args(4).toLong else 200L
+    // experiment knob: over-partitioning the shuffles (e.g. 2x cores) can
+    // smooth task waves on a noisy box — default stays partitions = cores
+    val shufflePartitions =
+      sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", cores.toString).toInt
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -563,12 +563,13 @@ def write_scenario(sdir, domain, pages, budget, seeds, depth_priority):
     return visited, links, epochs
 
 
-def soak(n, seed0, outdir):
+def soak(n, seed0, outdir, lo=14, hi=22):
     """Uncommitted bulk scenarios for graft.tools.SoakCheck: N random sites
-    under outdir/<seed>/ — same format as the committed fixtures.
+    under outdir/<seed>/ — same format as the committed fixtures. lo/hi set
+    the page-count range (bigger graphs → deeper BFS, more deferral epochs).
     """
     for s in range(seed0, seed0 + n):
-        domain, pages, budget, seeds, dp = make_fuzz_site(s)
+        domain, pages, budget, seeds, dp = make_fuzz_site(s, lo=lo, hi=hi)
         v, l, e = write_scenario(os.path.join(outdir, f"soak{s}"),
                                  domain, pages, budget, seeds, dp)
         print(f"soak{s}: {len(v)} visited, {len(l)} links, {len(e)} epochs, "
@@ -577,7 +578,8 @@ def soak(n, seed0, outdir):
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--soak":
-        soak(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        extra = [int(x) for x in sys.argv[5:7]]
+        soak(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], *extra)
         return
     scenarios = {
         "basic": site_basic,
