@@ -49,6 +49,41 @@ class RobotsScaleSpec extends AnyFunSuite {
       "https://h1.example.com/pub", "https://h2.example.com/pub"))
   }
 
+  test("10^4-host crawl-delay budgets apply via the shuffled join (broadcast forced off)") {
+    // every hN host declares Crawl-delay: 60 → 1 fetch/epoch/host; with
+    // robotsBroadcastMax=0 the per-host delay budgets flow through the
+    // SHUFFLED host join, the 10^8-host regime's path
+    val nHosts = 10000
+    val robotsBody = "User-agent: *\nCrawl-delay: 60\n"
+    val tsMs = 1700000000000L
+    val robotsRows = spark.range(0, nHosts, 1, 8).map { h =>
+      (s"https://h$h.example.com/robots.txt", new java.sql.Timestamp(tsMs),
+        robotsBody.getBytes("UTF-8"), robotsBody, "en")
+    }
+    val content = Seq(
+      page("https://example.com",
+        """<a href="https://h1.example.com/a">a</a>
+          |<a href="https://h1.example.com/b">b</a>
+          |<a href="https://h1.example.com/c">c</a>""".stripMargin),
+      page("https://h1.example.com/a", "<p>x</p>"),
+      page("https://h1.example.com/b", "<p>x</p>"),
+      page("https://h1.example.com/c", "<p>x</p>")).toDS()
+    val pages = robotsRows.union(content)
+      .toDF("url", "warc_ts", "html", "text", "lang")
+
+    val wh = Files.createTempDirectory("graft-delay10k-").toString
+    val r = new CrawlEngine(spark, CrawlConfig("example.com", numPartitions = 4,
+      robotsBroadcastMax = 0L)) // force the shuffled fallback
+      .run(pages, "https://example.com", wh)
+    val trace = r.trace.select("epoch", "url").as[(Int, String)].collect().toSeq
+    // h1 drains ONE url per epoch under its 60s delay (no configured budget)
+    assert(trace == Seq(
+      (0, "https://example.com"),
+      (1, "https://h1.example.com/a"),
+      (2, "https://h1.example.com/b"),
+      (3, "https://h1.example.com/c")), trace.toString)
+  }
+
   test("http+https robots.txt for one host: one row, https body wins") {
     val pages = Seq(
       page("http://h1.example.com/robots.txt", "User-agent: *\nAllow: /x\n"),
