@@ -47,9 +47,12 @@ object SparkEntry {
     val domain = "example.com"
     val pages = SiteGen.pages(spark, domain, nPages = 300, hosts = 4,
       outDegree = 8, numPartitions = 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wh = Files.createTempDirectory("graft-entry-").toString
     val engine = new CrawlEngine(spark, CrawlConfig(domain, numPartitions = 8))
-    engine.run(pages, s"https://$domain", wh).links
+    val result = engine.run(pages, s"https://$domain", wh)
+    pages.unpersist()
+    result.links
   }
 
   /** One per implemented operator from SURVEY.md §2 + the training-data ops. */
@@ -278,11 +281,18 @@ object SparkEntry {
     },
     "q_crawl_epoch" -> { (s, d) =>
       val domain = "example.com"
+      // persisted for the run: three jobs touch pages (robots probe + two
+      // epoch fetches) and an unpersisted synth table would regenerate its
+      // html each time. run() materializes all state to the warehouse, so
+      // unpersisting before returning is safe.
       val pages = SiteGen.pages(s, domain, crawlPages(d), hosts = 4,
         outDegree = 8, numPartitions = 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val wh = Files.createTempDirectory("graft-q-epoch-").toString
-      new CrawlEngine(s, CrawlConfig(domain, numPartitions = 8, maxEpochs = 2))
-        .run(pages, s"https://$domain", wh).visited
+      val result = new CrawlEngine(s, CrawlConfig(domain, numPartitions = 8,
+        maxEpochs = 2)).run(pages, s"https://$domain", wh)
+      pages.unpersist()
+      result.visited
     },
     "q_robots_gate" -> { (s, d) =>
       // RFC 9309 longest-prefix gate over sfDir-derived URLs; the DuckDB twin
