@@ -94,8 +94,13 @@ object HtmlExtract {
   def extractLinks(htmlBytes: Array[Byte]): List[String] =
     try {
       val st = ByteLinkScanner.eligibleStart(htmlBytes)
-      if (st >= 0) ByteLinkScanner.scan(htmlBytes, st)
-      else extractLinksViaChars(htmlBytes)
+      if (st >= 0) {
+        // a latent byte-scanner bug on an eligible input must not silently
+        // drop the page's links — fall back to the pinned char path, which
+        // has its own catch → Nil
+        try ByteLinkScanner.scan(htmlBytes, st)
+        catch { case _: Throwable => extractLinksViaChars(htmlBytes) }
+      } else extractLinksViaChars(htmlBytes)
     } catch { case _: Exception => Nil }
 
   /** The decoded-String links path — fallback target and the byte scanner's

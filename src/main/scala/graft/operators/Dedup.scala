@@ -13,6 +13,13 @@ import graft.textops.textfns._
   */
 object Dedup {
 
+  /** Default hot-bucket chain cap for every LSH family (minHashLsh, simHash,
+    * embeddingNearDup). Named so callers depending on exact full-pair-set
+    * semantics notice the r4 default flip away from Int.MaxValue and can opt
+    * back out explicitly.
+    */
+  val DefaultMaxBucketSize: Int = 4096
+
   /** Candidate pairs from an LSH bucket table, with a hot-bucket cap — the
     * shared scale guard for every LSH family (minhash bands, simhash chunks,
     * hyperplane buckets). Input: one row per (bucket key(s), id). Output:
@@ -80,10 +87,16 @@ object Dedup {
     * by default (4096, same as simHash/embeddingNearDup): at 10^10 docs with
     * heavy exact duplication, band buckets go quadratic without it. Pass
     * Int.MaxValue for exact candidate semantics (and no sizing shuffle).
+    *
+    * @note BEHAVIOR CHANGE (r4): the default flipped from Int.MaxValue
+    *       (exact full pair set) to [[DefaultMaxBucketSize]]. Callers that
+    *       depend on every intra-bucket pair — not just a connectivity-
+    *       preserving chain — must now pass `maxBucketSize = Int.MaxValue`
+    *       explicitly.
     */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, maxBucketSize: Int = 4096): DataFrame = {
+      threshold: Double = 0.8, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     val sigs = docs.select(
@@ -113,7 +126,7 @@ object Dedup {
     * id for the exact hamming verify.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val hashed = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
     val chunks = hashed.select(col("id"),
       posexplode(array((0 until 4).map(i =>
@@ -153,7 +166,7 @@ object Dedup {
     */
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
       planes: Int = 12, threshold: Double = 0.95,
-      maxBucketSize: Int = 4096): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val vecs = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val bucketed = vecs
       .select(col("id"), SimSearch.hyperplaneBucket(col("v"), planes).as("bucket"))

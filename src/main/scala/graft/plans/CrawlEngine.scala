@@ -287,16 +287,20 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
     val hasRobots = robotsCount > 0
 
     // robots crawl-delay → per-host politeness budget (SURVEY §1.2 schema):
-    // delay d caps a host at max(1, floor(window/d)) fetches per epoch —
-    // double floor(window/d) is exactly the oracle's int(window // d).
-    // NaN and non-positive delays fail the > 0 predicate and impose no cap.
+    // delay d caps a host at max(1, int(window // d)) fetches per epoch with
+    // CPython floordiv semantics (Robots.pyFloorDiv — floor(window/d) of the
+    // ROUNDED double quotient is off by one for thousands of representable
+    // delays). NaN needs the explicit isnan guard: Spark SQL orders NaN
+    // greater than every value, so `NaN > 0.0` is TRUE here while Python's
+    // `nan > 0` is False (no cap); +inf passes both and caps at 1.
     val delayBudgets: Option[DataFrame] =
       if (!hasRobots) None
       else {
-        val db = robots.filter(col("crawl_delay") > 0.0)
-          .select(col("host"), greatest(lit(1L),
-            floor(lit(config.crawlDelayWindowSec) / col("crawl_delay")))
-            .as("delay_budget"))
+        val db = robots
+          .filter(col("crawl_delay") > 0.0 && !isnan(col("crawl_delay")))
+          .select(col("host"),
+            crawl_delay_budget(col("crawl_delay"), config.crawlDelayWindowSec)
+              .as("delay_budget"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         if (db.count() == 0) { db.unpersist(); None } else Some(db)
       }

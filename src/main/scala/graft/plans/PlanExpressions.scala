@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.robots.Robots
@@ -16,6 +16,15 @@ import graft.sketch.BloomSketch
 object PlanOps {
   def hostKey(u: UTF8String): UTF8String =
     UTF8String.fromString(Robots.hostKey(u.toString))
+
+  /** Per-epoch fetch budget from a robots crawl-delay: the oracle's
+    * `max(1, int(window // d))` with CPython floordiv semantics
+    * ([[Robots.pyFloorDiv]]). Callers filter to d > 0 and non-NaN first
+    * (Python `nan > 0` is False ⇒ NaN imposes no cap; `inf > 0` is True ⇒
+    * budget 1).
+    */
+  def crawlDelayBudget(windowSec: Double, d: Double): Long =
+    math.max(1L, Robots.pyFloorDiv(windowSec, d).toLong)
 
   /** Longest-prefix robots decision over parallel prefix/allow arrays. */
   def robotsAllowed(url: UTF8String, prefixes: ArrayData, allows: ArrayData): Boolean = {
@@ -66,6 +75,22 @@ case class RobotsAllowed(first: Expression, second: Expression, third: Expressio
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): RobotsAllowed =
     copy(first = f, second = s, third = t)
+}
+
+/** CrawlDelayBudget(delay; windowSec) — per-host politeness budget from a
+  * robots crawl-delay, Python-floordiv-exact (see [[PlanOps.crawlDelayBudget]]).
+  */
+case class CrawlDelayBudget(child: Expression, windowSec: Double)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    PlanOps.crawlDelayBudget(windowSec, input.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.PlanOps.crawlDelayBudget(${windowSec}D, $c)")
+  override protected def withNewChildInternal(c: Expression): CrawlDelayBudget =
+    copy(child = c)
 }
 
 /** Seen-sketch shard router: UrlShard(url, numBuckets) — the plan-side twin
@@ -135,4 +160,6 @@ object planfns {
     column(CuckooMightContain(b, expression(c)))
   def url_shard(c: Column, numBuckets: Int): Column =
     column(UrlShard(expression(c), numBuckets))
+  def crawl_delay_budget(c: Column, windowSec: Double): Column =
+    column(CrawlDelayBudget(expression(c), windowSec))
 }

@@ -122,6 +122,24 @@ object Robots {
 
   def parse(body: String): Seq[Rule] = parseAll(body).rules
 
+  /** CPython float floor-division `vx // wx` (floatobject.c float_divmod →
+    * floor + 0.5-correction). NOT `floor(vx / wx)`: the rounded double
+    * quotient can cross an integer the exact quotient doesn't reach — e.g.
+    * 60.0 / 6.666666666666667 rounds to 9.0 but 60.0 // 6.666666666666667
+    * is 8.0. The politeness budget uses this so a robots crawl-delay
+    * computes bit-exactly the oracle's `int(window // d)`. Java's `%` on
+    * doubles is C fmod, matching CPython's fmod use.
+    */
+  def pyFloorDiv(vx: Double, wx: Double): Double = {
+    var mod = vx % wx
+    var div = (vx - mod) / wx
+    if (mod != 0.0) {
+      if ((wx < 0.0) != (mod < 0.0)) { mod += wx; div -= 1.0 }
+    }
+    val fd = math.floor(div)
+    if (div - fd > 0.5) fd + 1.0 else fd
+  }
+
   def allowed(url: String, rules: Seq[Rule]): Boolean = {
     val p = PyUrl.urlparse(url).path
     val path = if (p.isEmpty) "/" else p

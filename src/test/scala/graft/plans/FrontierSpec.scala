@@ -120,6 +120,15 @@ class FrontierSpec extends AnyFunSuite {
       .map(_.split("\t")(0).toInt).max >= 4)
   }
 
+  test("delayfloor: crawl-delay nan (no cap), inf (cap 1), and a delay where " +
+    "Python floordiv differs from floor(window/d) by one") {
+    checkScenario("delayfloor")
+    // non-degenerate: the scenario spans multiple epochs only because the
+    // delay caps bite (no configured budget)
+    assert(resLines("/sites/delayfloor/frontier_epochs.txt")
+      .map(_.split("\t")(0).toInt).max >= 2)
+  }
+
   test("saveLinks writes a bit-exact links.txt (O-11 sink parity)") {
     val (result, _) = runScenario("basic")
     val out = Files.createTempDirectory("graft-linkstxt-").toString + "/links"

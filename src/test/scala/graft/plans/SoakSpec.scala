@@ -4,12 +4,18 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
 
-/** Committed soak profile: 40 seeded-random site scenarios (fixed seeds
-  * 3000-3039) checked against the Python trace oracle on every `sbt test`
-  * run, so trace/frontier exactness cannot silently regress between rounds.
+/** Committed soak profile: 40 seeded-random site scenarios checked against
+  * the Python trace oracle on every `sbt test` run, so trace/frontier
+  * exactness cannot silently regress between rounds. Composition (r5): 34
+  * standard scenarios (seeds 3000-3033, 14-22 pages) + 6 DEEP scenarios
+  * (seeds 5000-5005, 60-110 pages, up to ~30 deferral epochs) so
+  * delay + depth-priority + multiseed + deep-deferral combos are exercised
+  * in every run, and the crawl-delay pool includes nan / inf /
+  * floordiv-divergent long decimals.
   *
   * Regenerate (deterministic; only needed if the oracle contract changes):
-  *   python3 tools/gen_site_fixtures.py --soak 40 3000 src/test/resources/soak
+  *   python3 tools/gen_site_fixtures.py --soak 34 3000 src/test/resources/soak
+  *   python3 tools/gen_site_fixtures.py --soak 6 5000 src/test/resources/soak 60 110
   */
 class SoakSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark

@@ -47,6 +47,28 @@ class RobotsSpec extends AnyFunSuite {
     assert(withDelay >= 40) // ...and the crawl-delay float grammar
   }
 
+  test("delay_budget.tsv: politeness budget = max(1, int(60.0 // d)) with " +
+    "CPython floordiv semantics, incl. the off-by-one divergence set") {
+    val in = getClass.getResourceAsStream("/vectors/delay_budget.tsv")
+    require(in != null)
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val rows = try src.getLines().drop(1).map { line =>
+      val Array(bits, budget, diverges) = line.split("\t", -1)
+      (java.lang.Double.longBitsToDouble(
+        java.lang.Long.parseUnsignedLong(bits, 16)), budget.toLong, diverges == "1")
+    }.toVector finally src.close()
+    assert(rows.size >= 4000)
+    // the corpus genuinely contains delays where floor(window/d) of the
+    // rounded quotient is wrong — the cases this contract exists for
+    assert(rows.count(_._3) >= 100)
+    rows.foreach { case (d, want, diverges) =>
+      val got = graft.plans.PlanOps.crawlDelayBudget(60.0, d)
+      assert(got == want, f"budget mismatch for delay=$d%.17g " +
+        f"(bits ${java.lang.Double.doubleToRawLongBits(d)}%016x): " +
+        s"got $got want $want (diverges-from-naive=$diverges)")
+    }
+  }
+
   private def escape(s: String): String =
     s.flatMap {
       case c if c >= 0x20 && c < 0x7f => c.toString

@@ -100,6 +100,53 @@ def main():
     with_delay = sum(1 for _, _, _, dl in rows if dl)
     print(f"{len(rows)} vectors ({blocked} blocked, {with_delay} with "
           f"crawl-delay) -> {OUT}")
+    budgets()
+
+
+BUDGET_OUT = os.path.join(ROOT, "src/test/resources/vectors/delay_budget.tsv")
+
+
+def budgets():
+    """Politeness-budget floordiv vectors: positive finite crawl-delay d ->
+    max(1, int(60.0 // d)) with CPython float floordiv semantics. The naive
+    floor(60.0 / d) of the ROUNDED quotient is off by one for thousands of
+    representable delays (60.0 / 6.666666666666667 rounds to 9.0 but
+    60.0 // 6.666666666666667 == 8.0); this file pins the exact contract.
+    Format: delay_bits_hex \t budget \t diverges(0|1 vs naive floor).
+    """
+    import math
+    r = random.Random(20260817)
+    ds = []
+    # near-divisor deltas: d = 60/n nudged by ulps — the divergence hotspot
+    for n in list(range(2, 400)) + [7, 9, 13, 19, 23, 29]:
+        base = 60.0 / n
+        for ulps in (-2, -1, 0, 1, 2):
+            ds.append(math.nextafter(base, math.inf if ulps > 0 else 0.0)
+                      if ulps != 0 else base)
+            for _ in range(abs(ulps) - 1):
+                ds[-1] = math.nextafter(ds[-1], math.inf if ulps > 0 else 0.0)
+    # broad random sweep across magnitudes
+    for _ in range(2000):
+        ds.append(r.uniform(0.01, 200.0))
+    for _ in range(500):
+        ds.append(r.uniform(1e-3, 1e-2))
+    ds += [6.666666666666667, 3.1578947368421053, 60.0, 59.999999999999996,
+           60.000000000000007, float("inf")]
+    rows = []
+    for d in ds:
+        if not (d > 0):
+            continue
+        budget = max(1, int(60.0 // d))
+        naive = 1 if math.isinf(d) else max(1, int(math.floor(60.0 / d)))
+        rows.append((struct.pack(">d", d).hex(), budget,
+                     1 if naive != budget else 0))
+    with open(BUDGET_OUT, "w", encoding="utf-8") as f:
+        f.write("delay_bits\tbudget\tdiverges\n")
+        for b, budget, dv in rows:
+            f.write(f"{b}\t{budget}\t{dv}\n")
+    ndiv = sum(dv for _, _, dv in rows)
+    print(f"{len(rows)} budget vectors ({ndiv} diverge from naive floor) "
+          f"-> {BUDGET_OUT}")
 
 
 if __name__ == "__main__":

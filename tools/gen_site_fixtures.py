@@ -361,6 +361,37 @@ def site_delay():
     return d, pages, None
 
 
+def site_delayfloor():
+    """crawl-delay edge cases pinned as a committed scenario:
+    - apex Crawl-delay 6.666666666666667: Python 60.0 // d == 8.0 but the
+      ROUNDED double quotient 60.0/d rounds to 9.0 — an engine computing
+      floor(window/d) fetches one extra URL per epoch and diverges here;
+    - nan.example.com Crawl-delay nan: float('nan') parses but nan > 0 is
+      False, so NO cap (Spark orders NaN > 0 — an engine without the isnan
+      guard caps this host at 1/epoch and diverges);
+    - inf.example.com Crawl-delay inf: int(60.0 // inf) == 0 → budget
+      max(1, 0) == 1 (one fetch per epoch).
+    """
+    d = "example.com"
+    pages = {
+        f"https://{d}/robots.txt":
+            b"User-agent: *\nCrawl-delay: 6.666666666666667\n",
+        f"https://nan.{d}/robots.txt": b"User-agent: *\nCrawl-delay: nan\n",
+        f"https://inf.{d}/robots.txt": b"User-agent: *\nCrawl-delay: inf\n",
+        f"https://{d}": page([f"/a{i:02d}" for i in range(11)] +
+                             [f"https://nan.{d}/n{i}" for i in range(4)] +
+                             [f"https://inf.{d}/i{i}" for i in range(3)]),
+    }
+    for i in range(11):
+        pages[f"https://{d}/a{i:02d}"] = page([])
+    for i in range(4):
+        pages[f"https://nan.{d}/n{i}"] = page([f"/n{i}x"])
+        pages[f"https://nan.{d}/n{i}x"] = page([])
+    for i in range(3):
+        pages[f"https://inf.{d}/i{i}"] = page([])
+    return d, pages, None
+
+
 def site_multiseed():
     """Two seeds on different hosts reaching partly-disjoint islands —
     the north_star's 'seed list' shape."""
@@ -528,8 +559,13 @@ def make_fuzz_site(seed, lo=14, hi=22):
         for pref in prefixes:
             lines.append(("Allow: " if r.random() < 0.3 else "Disallow: ") + pref)
         if r.random() < 0.4:  # crawl-delay → per-host budget tightening
+            # pool includes nan (no cap: nan > 0 is False), inf (cap 1), and
+            # long-decimal delays where floor(window/d) of the ROUNDED double
+            # quotient differs from Python's fmod-corrected floordiv
+            # (60.0 // 6.666666666666667 == 8.0, not 9.0)
             lines.append("Crawl-delay: " + r.choice(
-                ["1", "12.5", "30", "45", "60", "90", "0", "-2", "abc"]))
+                ["1", "12.5", "30", "45", "60", "90", "0", "-2", "abc",
+                 "nan", "inf", "6.666666666666667", "3.1578947368421053"]))
         pages[f"https://{r.choice(hosts)}/robots.txt"] = "\n".join(lines).encode()
     budget = r.choice([None, 1, 2, 3])
     depth_priority = budget is not None and r.random() < 0.5
@@ -587,6 +623,7 @@ def main():
         "budget2": site_budget,
         "robots": site_robots,
         "delay": site_delay,
+        "delayfloor": site_delayfloor,
         "combo": site_combo,
         "multiseed": site_multiseed,
         "priority": site_priority,
