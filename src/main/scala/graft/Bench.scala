@@ -102,6 +102,88 @@ object Bench {
     (sec, scheduled)
   }
 
+  /** Aged-crawl kernel (bucket-local seen-dedup evidence, BASELINE.md): one
+    * epoch over an nPages corpus with `priorN` previously-crawled URLs
+    * already in the visited table — the regime where the crawl is OLD and
+    * the per-epoch dedup cost is governed by accumulated state, not epoch
+    * size. Two shapes:
+    *
+    *  - `frontierN == 0` (discovery shape): the full-corpus steady epoch;
+    *    prior URLs are a DISJOINT id range (the epoch pushes into fresh url
+    *    space, as BFS discovery does). Candidates resolve in the epoch's own
+    *    delta; prior shards cost a header read.
+    *  - `frontierN > 0` (revisit shape): a small `frontierN`-url frontier;
+    *    prior = ids 0..priorN, a SUPERSET of the corpus, so every extracted
+    *    candidate is genuinely in the accumulated seen set and the dedup
+    *    must consult old state.
+    *
+    * The bloom sketch is disabled in BOTH modes: it prunes only the LEFT
+    * side of the dedup, its build is incremental in a real crawl (first
+    * activation would otherwise dominate this 1-epoch harness), and the
+    * claim under test is the RIGHT side — seenDedup=anti re-shuffles the
+    * whole O(prior) seen set through the left_anti join every epoch, while
+    * seenDedup=bucketlocal probes the sorted shard store at O(candidates).
+    * Prior seeding (and its shard-store build) happens OUTSIDE the timed
+    * region — that state was written by earlier epochs, whose cost was paid
+    * then. Returns (sec, urlsScheduledDeduped).
+    */
+  def agedKernel(spark: SparkSession, nPages: Long, priorN: Long,
+      frontierN: Long, partitions: Int, bucketLocal: Boolean): (Double, Long) = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val domain = "example.com"
+    val pages = SiteGen.pages(spark, domain, nPages, hosts = 32,
+      outDegree = 12, numPartitions = partitions)
+      .repartition(partitions, col("url"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pages.count()
+    val wh = Files.createTempDirectory("graft-aged-").toString
+    lastWarehouse = Some(wh)
+    val store = new SnapshotStore(spark, wh)
+    val frontier0 =
+      if (frontierN <= 0)
+        pages.select(col("url"),
+          graft.plans.planfns.host_key(col("url")).as("host"),
+          lit(0L).as("priority"))
+      else {
+        val stride = math.max(1L, nPages / frontierN)
+        spark.range(0, frontierN, 1, partitions)
+          .map(i => SiteGen.pageUrl(domain, 32, i * stride))
+          .toDF("url")
+          .select(col("url"), graft.plans.planfns.host_key(col("url")).as("host"),
+            lit(0L).as("priority"))
+      }
+    val priorBase = if (frontierN <= 0) nPages else 0L // disjoint vs superset
+    val prior = spark.range(0, priorN, 1, partitions)
+      .map(i => SiteGen.pageUrl(domain, 32, priorBase + i))
+      .toDF("url")
+    val fState = store.writeDelta("frontier", 0, frontier0, None, fullRewrite = true)
+    val vState = store.writeDelta("visited", -1,
+      prior.select(lit(-1).as("epoch"), col("url")), None)
+    val lState = store.writeDelta("links", -1, Seq.empty[String].toDF("url"), None)
+    val sState = store.writeDelta("suppressed", -1, Seq.empty[String].toDF("url"), None)
+    store.commit(-1, Map("frontier" -> fState, "visited" -> vState,
+      "links" -> lState, "suppressed" -> sState), Map("seed" -> fState.deltaRows))
+    if (bucketLocal && priorN > 0)
+      new graft.sketch.SeenUrlStore(s"$wh/seenstore", partitions)
+        .writeDelta(prior, -1)
+
+    val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    val t0 = System.nanoTime()
+    new CrawlEngine(spark, CrawlConfig(domain, numPartitions = partitions,
+      seenDedup = if (bucketLocal) "bucketlocal" else "anti",
+      bloomMinSeen = Long.MaxValue,
+      maxEpochs = 1))
+      .run(pages, s"https://$domain", wh)
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
+    val scheduled = store.snapshotAt(0)
+      .map(_.metrics.getOrElse("candidates_in", 0L)).getOrElse(0L)
+    pages.unpersist()
+    (sec, scheduled)
+  }
+
   /** Pruned-fetch kernel (bucket-manifest pruning evidence, BASELINE.md):
     * ONE epoch over a SMALL frontier (`frontierN` urls spread across the
     * corpus) against an `nPages` corpus in the bucket-manifest layout —

@@ -32,6 +32,7 @@ object ScalingBench {
     val mode = if (args.length > 2) args(2) else "steady"
     val reps = if (args.length > 3) args(3).toInt else 3
     val frontierN = if (args.length > 4) args(4).toLong else 200L
+    val epochFrontier = if (args.length > 5) args(5).toLong else 0L
     // experiment knob: over-partitioning the shuffles (e.g. 2x cores) can
     // smooth task waves on a noisy box — default stays partitions = cores
     val shufflePartitions =
@@ -55,10 +56,22 @@ object ScalingBench {
         val r = Bench.prunedKernel(spark, n, frontierN, cores, mode == "pruned")
         println(f"""{"metric":"pruned_files","mode":"$mode","files_read":${r._3},"files_total":${r._4}}""")
         (r._1, r._2)
+      // bucket-local seen-dedup evidence: the same nPages epoch over a crawl
+      // aged by arg5 prior URLs — "aged" probes the sorted shard store,
+      // "agedanti" is the per-epoch left_anti control. arg6 (epochFrontier):
+      // 0 = full-corpus discovery shape; >0 = small-frontier revisit shape
+      // (prior ⊇ corpus, candidates genuinely already-seen)
+      case "aged" | "agedanti" =>
+        Bench.agedKernel(spark, n, frontierN, epochFrontier, cores, mode == "aged")
       case _ => Bench.steadyKernel(spark, n, cores)
     }
     if (mode == "pruned" || mode == "prunedfull") once(40000L)
-    else once(20000L) // JIT/codegen warmup
+    else if (mode == "aged" || mode == "agedanti") {
+      val w = Bench.agedKernel(spark, 20000L, math.min(frontierN, 100000L),
+        if (epochFrontier > 0) 200L else 0L,
+        cores, mode == "aged") // warmup at small scale, same code paths
+      require(w._2 > 0)
+    } else once(20000L) // JIT/codegen warmup
     // best-of-N: the sandbox VM shows CPU-steal noise; min is the least
     // contaminated estimate of true cost
     val runs = (1 to reps).map { i =>

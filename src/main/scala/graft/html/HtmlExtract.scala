@@ -92,26 +92,36 @@ object HtmlExtract {
     * tokenizer. Byte ≡ char equivalence is fuzz-pinned by ByteScanSpec.
     */
   def extractLinks(htmlBytes: Array[Byte]): List[String] =
+    extractLinksErr(htmlBytes)._1
+
+  /** extractLinks plus an error flag: `true` iff extraction gave up and
+    * returned no links because BOTH scan paths threw (the crawler.py:45-46
+    * swallow path) — the per-partition `parse_errors` metric signal. A
+    * malformed document the never-throw tokenizer handles is NOT an error.
+    */
+  def extractLinksErr(htmlBytes: Array[Byte]): (List[String], Boolean) =
     try {
       val st = ByteLinkScanner.eligibleStart(htmlBytes)
       if (st >= 0) {
         // a latent byte-scanner bug on an eligible input must not silently
-        // drop the page's links — fall back to the pinned char path, which
-        // has its own catch → Nil
-        try ByteLinkScanner.scan(htmlBytes, st)
-        catch { case _: Throwable => extractLinksViaChars(htmlBytes) }
-      } else extractLinksViaChars(htmlBytes)
-    } catch { case _: Exception => Nil }
+        // drop the page's links — fall back to the pinned char path
+        try (ByteLinkScanner.scan(htmlBytes, st), false)
+        catch { case _: Throwable => extractLinksViaCharsErr(htmlBytes) }
+      } else extractLinksViaCharsErr(htmlBytes)
+    } catch { case _: Exception => (Nil, true) }
 
   /** The decoded-String links path — fallback target and the byte scanner's
     * differential reference (ByteScanSpec).
     */
   private[graft] def extractLinksViaChars(htmlBytes: Array[Byte]): List[String] =
+    extractLinksViaCharsErr(htmlBytes)._1
+
+  private def extractLinksViaCharsErr(htmlBytes: Array[Byte]): (List[String], Boolean) =
     try {
       val c = new Collector(collectText = false)
       HtmlTokenizer.parse(decode(htmlBytes), c)
-      c.links.result()
-    } catch { case _: Exception => Nil }
+      (c.links.result(), false)
+    } catch { case _: Exception => (Nil, true) } // crawler.py:45-46
 
   def extractText(htmlBytes: Array[Byte]): String = extract(htmlBytes)._2
 }

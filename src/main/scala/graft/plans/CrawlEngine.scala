@@ -45,6 +45,28 @@ import graft.url.urlfns._
   *                        negative). Cuckoo is broadcast-only — the shard-file
   *                        store is bloom-format — so it forces the broadcast
   *                        probe regardless of bloomFileProbe.
+  * @param seenDedup       "bucketlocal" (default): the authoritative
+  *                        candidates−seen check runs against the
+  *                        [[graft.sketch.SeenUrlStore]] sorted shard files —
+  *                        bucket-local, no per-epoch re-shuffle of the
+  *                        cumulative O(total-crawled) seen set, probe cost
+  *                        tracks the CANDIDATES (BASELINE.md's "dedup is
+  *                        bucket-local" accounting). "anti": the plain
+  *                        `left_anti` join against the visited table (the
+  *                        differential-test reference path).
+  * @param seenStoreBuckets url-hash buckets for the seen shard store; 0 ⇒
+  *                        numPartitions. Size so one shard (total-seen ×
+  *                        ~60 B / buckets) fits task memory (2^14 at 10^10).
+  * @param linksCompactFactor links is an append-only delta table whose
+  *                        global distinct is taken at read; when its
+  *                        cumulative row count grows past this factor × the
+  *                        last compacted size, the epoch commit rewrites it
+  *                        as distinct rows (SnapshotStore.compactDistinct) —
+  *                        amortized O(total/factor) per epoch, so reads stop
+  *                        paying an O(total-ever-appended) scan forever.
+  *                        ≤ 0 disables.
+  * @param linksCompactMinRows no compaction below this row count (small
+  *                        crawls never pay the rewrite).
   */
 final case class CrawlConfig(
     domain: String,
@@ -57,6 +79,10 @@ final case class CrawlConfig(
     bloomShards: Int = 32,
     bloomFileProbe: Option[Boolean] = None,
     sketchKind: String = "bloom",
+    seenDedup: String = "bucketlocal",
+    seenStoreBuckets: Int = 0,
+    linksCompactFactor: Double = 3.0,
+    linksCompactMinRows: Long = 1000000L,
     bloomBroadcastMaxBytes: Long = 256L << 20,
     broadcastFetchMax: Long = 100000L,
     robotsBroadcastMax: Long = 100000L,
@@ -221,18 +247,21 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
 
   /** candidates − seen, with the O-7b bloom fast path: `probe` adds a
     * `maybe_seen` flag (broadcast-sketch expression or sharded shard-file
-    * lookup); !maybe_seen rows skip the authoritative anti-join entirely.
-    * Exactness comes from the anti-join either way — the sketch only prunes.
+    * lookup); !maybe_seen rows skip the authoritative check entirely.
+    * `exactSeen` is the AUTHORITATIVE filter (rows NOT in the seen set):
+    * either the bucket-local sorted-shard lookup (seenDedup=bucketlocal — no
+    * O(seen) exchange) or the plain `left_anti` join (seenDedup=anti).
+    * Exactness comes from `exactSeen` either way — the sketch only prunes.
     */
-  private def dedupAgainst(candidates: DataFrame, seen: DataFrame,
+  private def dedupAgainst(candidates: DataFrame,
+      exactSeen: DataFrame => DataFrame,
       probe: Option[DataFrame => DataFrame]): DataFrame = probe match {
     case None =>
-      candidates.join(seen.select("url"), Seq("url"), "left_anti")
+      exactSeen(candidates)
     case Some(p) =>
       val flagged = p(candidates)
       val definitelyNew = flagged.filter(!col("maybe_seen")).drop("maybe_seen")
-      val maybeSeen = flagged.filter(col("maybe_seen")).drop("maybe_seen")
-        .join(seen.select("url"), Seq("url"), "left_anti")
+      val maybeSeen = exactSeen(flagged.filter(col("maybe_seen")).drop("maybe_seen"))
       definitelyNew.union(maybeSeen)
   }
 
@@ -267,6 +296,14 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       seedUrls: Seq[String], warehouse: String): CrawlResult = {
     lazy val pages: DataFrame = pagesPlain()
     val store = new SnapshotStore(spark, warehouse)
+    require(config.seenDedup == "bucketlocal" || config.seenDedup == "anti",
+      s"unknown seenDedup '${config.seenDedup}' (bucketlocal|anti)")
+    val useSeenStore = config.seenDedup == "bucketlocal"
+    val seenStore =
+      if (useSeenStore)
+        new graft.sketch.SeenUrlStore(s"$warehouse/seenstore",
+          if (config.seenStoreBuckets > 0) config.seenStoreBuckets else P)
+      else null
     // url-only robots existence probe: parsing robots needs the html column,
     // and a predicate on url cannot row-group-prune an endsWith match — so a
     // corpus with NO robots.txt files would pay a full url+html scan just to
@@ -333,6 +370,13 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         snapshot = s
         epoch = s.epoch + 1
         frontier = store.readTable(s, "frontier")
+        // resuming a warehouse whose visited predates the shard store (or
+        // whose store was deleted): rebuild the exact index from the
+        // authoritative parquet once, tagged with the resume epoch so every
+        // later probe (upToEpoch ≥ s.epoch) sees all of it
+        if (useSeenStore && s.tables("visited").totalRows > 0 &&
+          !seenStore.hasAnyData(spark.sparkContext.hadoopConfiguration))
+          seenStore.writeDelta(store.readTable(s, "visited").select("url"), s.epoch)
       case None =>
         val seedDf = allowedSeeds
           .map(u => (u, graft.robots.Robots.hostKey(u), 0L))
@@ -351,6 +395,11 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
     }
 
     var frontierCount = frontier.count()
+
+    // links-compaction base: the row count the table last held in compacted
+    // (or first-delta) form; persisted in the manifest metrics so resume
+    // keeps the amortization schedule
+    var linksBaseRows = snapshot.metrics.getOrElse("links_base_rows", 0L)
 
     // Incrementally-maintained seen sketch (O-7b). Activation is LAZY: the
     // first epoch where the seen estimate crosses bloomMinSeen, the sketch is
@@ -438,9 +487,14 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       val vStateF = Future {
-        store.writeDelta("visited", epoch,
+        val vs = store.writeDelta("visited", epoch,
           fetchNow.select(lit(epoch).as("epoch"), col("url")),
           Some(snapshot.tables("visited")))
+        // the exact seen index gets the SAME delta (O(epoch) rows — the only
+        // state that is new); sorted shard files must exist before this
+        // epoch's dedup probe, which awaits this future
+        if (useSeenStore) seenStore.writeDelta(fetchNow.select("url"), epoch)
+        vs
       }
       lap("visited_write_launch")
 
@@ -472,8 +526,14 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
           broadcast(fetchNow.select("url"))
         else fetchNow.select("url").repartition(P, col("url"))
       val fetched = pagesForEpoch.select("url", "html").join(fetchKeys, Seq("url"))
+      // per-partition fetch/extract metrics (§1.2 schema) ride the extraction
+      // expression itself as an accumulator — no extra pass, no extra job;
+      // fresh per epoch so each snapshot reports its own partitions
+      val extractAcc = new graft.html.ExtractMetricsAcc
+      spark.sparkContext.register(extractAcc, s"extract_metrics_e$epoch")
       val cleanLinks = fetched
-        .select(col("url").as("page_url"), explode_outer(extract_hrefs(col("html"))).as("href"))
+        .select(col("url").as("page_url"),
+          explode_outer(extract_hrefs_metered(col("html"), extractAcc)).as("href"))
         .filter(col("href").isNotNull)
         .select(graft.url.urlfns2.resolve_clean(col("page_url"), col("href")).as("url"))
         .filter(col("url").isNotNull) // null = scheme-filtered (O-5)
@@ -588,14 +648,27 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         else if (useCuckoo)
           Some(df => df.withColumn("maybe_seen", cuckoo_might_contain(cuckooBcast, col("url"))))
         else Some(df => df.withColumn("maybe_seen", bloom_might_contain(bloomBcast, col("url"))))
-      // deduped is already hash-partitioned by url (dropDuplicates/anti-join
+      // the authoritative candidates−seen filter: bucket-local sorted-shard
+      // lookup by default (no O(seen) exchange — the store's delta for THIS
+      // epoch covers fetchNow, so probing up to `epoch` equals the
+      // visited∪fetchNow anti-join), or the plain left_anti reference path
+      val exactSeen: DataFrame => DataFrame =
+        if (useSeenStore) { df =>
+          // the shard files for this epoch are written by vStateF — they
+          // must be on disk before the probe job launches
+          Await.result(vStateF, scala.concurrent.duration.Duration.Inf)
+          seenStore.filterUnseen(df, "url", epoch)
+        } else { df =>
+          df.join(visitedAll.select("url"), Seq("url"), "left_anti")
+        }
+      // deduped is already hash-partitioned (dropDuplicates/bucket-probe
       // shuffles); writing it directly keeps that distribution in the files
       // and lets AQE coalesce small epochs to few files. The fixpoint epoch
       // (0 candidates) writes the empty delta without the join machinery.
       val next =
         if (candidatesIn == 0) candidates
         else {
-          val deduped = dedupAgainst(candidates, visitedAll, probe)
+          val deduped = dedupAgainst(candidates, exactSeen, probe)
           if (sState.totalRows > 0)
             deduped.join(spark.read.parquet(sState.files: _*).select("url"),
               Seq("url"), "left_anti")
@@ -606,14 +679,31 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       lap("frontier_write")
       val vState = Await.result(vStateF, scala.concurrent.duration.Duration.Inf)
       lap("visited_wait")
-      val lState = Await.result(lStateF, scala.concurrent.duration.Duration.Inf)
+      val lStateRaw = Await.result(lStateF, scala.concurrent.duration.Duration.Inf)
       lap("links_wait")
+      // threshold-triggered links compaction (amortized: only when the delta
+      // pile outgrows the last compacted size by linksCompactFactor)
+      val doCompact = config.linksCompactFactor > 0 && linksBaseRows > 0 &&
+        lStateRaw.totalRows >= config.linksCompactMinRows &&
+        lStateRaw.totalRows >= (config.linksCompactFactor * linksBaseRows).toLong
+      val lState =
+        if (doCompact) store.compactDistinct("links", epoch, lStateRaw)
+        else lStateRaw
+      if (doCompact) lap("links_compact")
+      if (linksBaseRows == 0 || doCompact) linksBaseRows = lState.totalRows
       // the per-epoch sketch broadcast is consumed only by the frontier
       // write above — release it so long crawls don't accumulate broadcast
       // state on the driver/executors
       if (bloomBcast != null) bloomBcast.destroy()
       if (cuckooBcast != null) cuckooBcast.destroy()
 
+      // extraction accumulator is final here: both cleanLinks consumers
+      // (links write + frontier chain) are awaited above, so every cached
+      // partition has been materialized exactly once
+      val pmetrics = extractAcc.value.toSeq.sortBy(_._1).map { case (pid, s) =>
+        SnapshotStore.PartitionMetric(pid, s.pages, s.bytesHtml, s.linksOut,
+          s.parseErrors)
+      }
       val wallMs = (System.nanoTime() - t0) / 1000000L
       snapshot = store.commit(epoch, Map(
         "frontier" -> fState, "visited" -> vState,
@@ -627,12 +717,20 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
           "candidates_in" -> candidatesIn,
           "next_frontier" -> fState.deltaRows,
           "sketch_capacity" -> (if (sketchActive) sketchCapacity else 0L),
+          "seen_bucketlocal" -> (if (useSeenStore) 1L else 0L),
+          "links_base_rows" -> linksBaseRows,
+          "links_compacted" -> (if (doCompact) 1L else 0L),
+          "pages_hit" -> pmetrics.map(_.pages).sum,
+          "bytes_html" -> pmetrics.map(_.bytesHtml).sum,
+          "links_out" -> pmetrics.map(_.linksOut).sum,
+          "parse_errors" -> pmetrics.map(_.parseErrors).sum,
           "wall_ms" -> wallMs) ++ stepMs ++
           (if (pagesFilesRead >= 0)
             Map("pages_files_read" -> pagesFilesRead,
               "pages_files_total" -> bucketed.get.totalFiles.toLong)
           else Map.empty[String, Long]),
-        parent = Some(snapshot))
+        parent = Some(snapshot),
+        partitionMetrics = pmetrics)
 
       candidates.unpersist()
       cleanLinks.unpersist()

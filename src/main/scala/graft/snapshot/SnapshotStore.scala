@@ -42,12 +42,22 @@ object SnapshotStore {
       totalRows: Long, schemaJson: String = null) {
     def files: Seq[String] = dataFiles.map(_.path)
   }
+  /** One fetch/extract-task partition's counters for the epoch (SURVEY.md
+    * §1.2 metrics schema; north_rule "per-partition lineage and fetch/extract
+    * metrics"). `pages` = page rows the partition fetched (joined);
+    * frontier urls with no page row are the epoch-level `fetched` −
+    * `pages_hit` residual.
+    */
+  final case class PartitionMetric(partitionId: Int, pages: Long,
+      bytesHtml: Long, linksOut: Long, parseErrors: Long)
+
   final case class Snapshot(
       snapshotId: Long,
       parentId: Long,
       epoch: Int,
       tables: Map[String, TableState],
-      metrics: Map[String, Long])
+      metrics: Map[String, Long],
+      partitionMetrics: Seq[PartitionMetric] = Nil)
 
   /** Exact row count from the parquet footer — driver-side, no Spark job. */
   def parquetRowCount(fp: Path, hconf: org.apache.hadoop.conf.Configuration): Long = {
@@ -97,6 +107,43 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       delta.schema.json)
   }
 
+  /** Threshold-triggered compaction for an append-only delta table (links):
+    * rewrite the manifest's current file set as DISTINCT rows under
+    * `<table>/compact=<epoch>/`, returning a state that lists ONLY the
+    * compacted files. Without this, every read of a long crawl's links pays
+    * an O(total-ever-appended) scan + distinct over all deltas forever.
+    *
+    * Crash-safe by the same invariant as epoch data dirs: the files are
+    * invisible until a committed manifest references them; a crashed
+    * compaction leaves an orphan directory that the re-run of the same epoch
+    * overwrites. Older snapshots keep referencing the pre-compaction delta
+    * files, which are never deleted — per-epoch lineage and time travel stay
+    * intact.
+    */
+  def compactDistinct(table: String, epoch: Int, st: TableState): TableState = {
+    val dir = new Path(new Path(root, table), s"compact=$epoch")
+    val reader =
+      if (st.schemaJson == null) spark.read
+      else spark.read.schema(org.apache.spark.sql.types.DataType
+        .fromJson(st.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType])
+    reader.parquet(st.files: _*).distinct()
+      .write.mode("overwrite").parquet(dir.toString)
+    val f = fs(dir)
+    val paths = f.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+      .sorted
+    val dataFiles = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence(paths.map(fp => Future {
+          DataFile(fp, parquetRowCount(new Path(fp), hconf))
+        })), scala.concurrent.duration.Duration.Inf)
+    }
+    TableState(dataFiles, st.deltaRows, dataFiles.map(_.rows).sum, st.schemaJson)
+  }
+
   /** Read a table through the manifest's file list (never the directory);
     * the manifest schema skips footer inference when present.
     */
@@ -127,13 +174,15 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * compounds to O(epochs²) over a long crawl).
     */
   def commit(epoch: Int, tables: Map[String, TableState],
-      metrics: Map[String, Long], parent: Option[Snapshot]): Snapshot = {
+      metrics: Map[String, Long], parent: Option[Snapshot],
+      partitionMetrics: Seq[PartitionMetric] = Nil): Snapshot = {
     val snap = Snapshot(
       snapshotId = epoch.toLong,
       parentId = parent.map(_.snapshotId).getOrElse(-1L),
       epoch = epoch,
       tables = tables,
-      metrics = metrics)
+      metrics = metrics,
+      partitionMetrics = partitionMetrics)
     val node = mapper.createObjectNode()
     node.put("snapshot_id", snap.snapshotId)
     node.put("parent_id", snap.parentId)
@@ -154,6 +203,17 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     }
     val mnode = node.putObject("metrics")
     for ((k, v) <- metrics.toSeq.sortBy(_._1)) mnode.put(k, v)
+    if (partitionMetrics.nonEmpty) {
+      val parr = node.putArray("partition_metrics")
+      partitionMetrics.sortBy(_.partitionId).foreach { pm =>
+        val po = parr.addObject()
+        po.put("partition_id", pm.partitionId)
+        po.put("pages", pm.pages)
+        po.put("bytes_html", pm.bytesHtml)
+        po.put("links_out", pm.linksOut)
+        po.put("parse_errors", pm.parseErrors)
+      }
+    }
 
     val f = fs(metaDir)
     f.mkdirs(metaDir)
@@ -207,8 +267,37 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     val metrics = Option(node.get("metrics")).map { m: JsonNode =>
       m.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
     }.getOrElse(Map.empty[String, Long])
+    val pmetrics = Option(node.get("partition_metrics")).map { arr =>
+      arr.asInstanceOf[ArrayNode].asScala.map { pn =>
+        PartitionMetric(pn.get("partition_id").asInt(), pn.get("pages").asLong(),
+          pn.get("bytes_html").asLong(), pn.get("links_out").asLong(),
+          pn.get("parse_errors").asLong())
+      }.toSeq
+    }.getOrElse(Nil)
     Snapshot(node.get("snapshot_id").asLong(), node.get("parent_id").asLong(),
-      node.get("epoch").asInt(), tables, metrics)
+      node.get("epoch").asInt(), tables, metrics, pmetrics)
+  }
+
+  /** The §1.2 metrics table across all committed epochs, materialized from
+    * the manifests: (epoch, partition_id, pages, bytes_html, links_out,
+    * parse_errors). Manifest-resident (no per-epoch data-file write) —
+    * partition counts are ≤ tasks/epoch, so this stays driver-trivial even
+    * at 2^14 partitions.
+    */
+  def partitionMetricsTable(): DataFrame = {
+    import spark.implicits._
+    val f = fs(metaDir)
+    val rows =
+      if (!f.exists(metaDir)) Seq.empty
+      else f.listStatus(metaDir).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("snap-") && p.getName.endsWith(".json"))
+        .flatMap(p => try Some(load(p)) catch { case _: Exception => None })
+        .sortBy(_.epoch)
+        .flatMap(s => s.partitionMetrics.map(pm =>
+          (s.epoch, pm.partitionId, pm.pages, pm.bytesHtml, pm.linksOut,
+            pm.parseErrors)))
+    rows.toDF("epoch", "partition_id", "pages", "bytes_html", "links_out",
+      "parse_errors")
   }
 
   /** Drop manifests newer than `epoch` (test hook for crash/resume). */

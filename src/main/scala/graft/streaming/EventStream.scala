@@ -63,15 +63,28 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Timestamp ↔ microseconds (java.sql.Timestamp is millis + nanos; a bare
+    * getTime would truncate the table's microsecond event times).
+    */
+  private def tsMicros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  private def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * when no event arrives for `gapMinutes` of event time (enforced by an
-    * event-time timeout keyed to the watermark).
+    * event-time timeout keyed to the watermark). State tracks MICROSECOND
+    * event times — the events table carries µs precision and session bounds
+    * must round-trip it exactly.
     */
   def sessionize(events: Dataset[Event], watermark: String = "10 minutes",
       gapMinutes: Int = 30): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
 
     events
       .withWatermark("ts", watermark)
@@ -82,21 +95,21 @@ object EventStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(Session(userId, new Timestamp(s.start),
-              new Timestamp(s.last), s.n, s.total))
+            Iterator.single(Session(userId, microsTs(s.start),
+              microsTs(s.last), s.n, s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => tsMicros(e.ts))
             var closed = List.empty[Session]
             var cur = state.getOption
             for (e <- sorted) {
-              val t = e.ts.getTime
+              val t = tsMicros(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   cur = Some(SessionState(s.start, math.max(s.last, t),
                     s.n + 1, s.total + e.value))
                 case Some(s) =>
-                  closed ::= Session(userId, new Timestamp(s.start),
-                    new Timestamp(s.last), s.n, s.total)
+                  closed ::= Session(userId, microsTs(s.start),
+                    microsTs(s.last), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -104,7 +117,9 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // timeout API is millisecond-granular: round UP so a session
+              // can never time out before its full event-time gap elapses
+              state.setTimeoutTimestamp((s.last + gapUs + 999L) / 1000L)
             }
             closed.reverseIterator
           }

@@ -42,7 +42,19 @@ class BloomModeSpec extends AnyFunSuite {
   }
 
   private lazy val plain = crawl(CrawlConfig(domain, numPartitions = 4,
-    bloomMinSeen = Long.MaxValue)) // sketch never activates: pure anti-join
+    bloomMinSeen = Long.MaxValue, // sketch never activates…
+    seenDedup = "anti")) // …and the authoritative check is the left_anti join
+
+  test("bucket-local sorted-shard dedup ≡ plain anti-join (sketch off and on)") {
+    // default seenDedup=bucketlocal: the authoritative check reads only the
+    // SeenUrlStore shard files — never re-shuffles the cumulative seen set
+    val noSketch = crawl(CrawlConfig(domain, numPartitions = 4,
+      bloomMinSeen = Long.MaxValue)) // every candidate takes the store probe
+    assert(noSketch == plain)
+    val withSketch = crawl(CrawlConfig(domain, numPartitions = 4,
+      bloomMinSeen = 4, bloomExpectedTotal = 1024)) // only maybe-seen rows probe
+    assert(withSketch == plain)
+  }
 
   test("warm-up: bloom activating mid-crawl never re-visits early URLs") {
     // activates around epoch 3; pages 0..2 were fetched before activation

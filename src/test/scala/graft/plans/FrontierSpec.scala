@@ -189,6 +189,93 @@ class FrontierSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(got, golden))
   }
 
+  test("per-partition fetch/extract metrics: exact counts incl. null-html " +
+    "parse errors, malformed html, and dead links") {
+    val d = "example.com"
+    def b(html: String): Array[Byte] = html.getBytes(UTF_8)
+    val pagesMap: Map[String, Array[Byte]] = Map(
+      s"https://$d" -> b("""<html><a href="/b">x</a><a href="/c">y</a><a href="/dead">z</a></html>"""),
+      s"https://$d/b" -> b("""<a href="/e">ok</a><a href='/broken"""), // malformed tail
+      s"https://$d/c" -> null, // failed fetch: the parse_errors signal
+      s"https://$d/e" -> b("<html>no links</html>"))
+    val pages = pagesMap.toSeq
+      .map { case (u, h) => (u, new java.sql.Timestamp(1700000000000L), h, "", "en") }
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val wh = Files.createTempDirectory("graft-pmetrics-").toString
+    val result = new CrawlEngine(spark, CrawlConfig(d, numPartitions = 4))
+      .run(pages, s"https://$d", wh)
+    val visited = result.visited.select("url").as[String].collect().toSet
+    assert(visited.contains(s"https://$d/dead"), "dead link was never scheduled")
+    // expected totals, recomputed from the same pages the crawl fetched
+    var (eP, eB, eL, eE) = (0L, 0L, 0L, 0L)
+    visited.foreach { u =>
+      pagesMap.get(u).foreach { h =>
+        eP += 1
+        if (h == null) eE += 1
+        else { eB += h.length; eL += graft.html.HtmlExtract.extractLinks(h).size }
+      }
+    }
+    assert(eE == 1 && eP >= 3 && eL >= 3, s"scenario degenerate: $eP/$eE/$eL")
+    val store = new graft.snapshot.SnapshotStore(spark, wh)
+    val snaps = (0 until result.epochs).flatMap(store.snapshotAt)
+    assert(snaps.map(_.metrics("pages_hit")).sum == eP)
+    assert(snaps.map(_.metrics("bytes_html")).sum == eB)
+    assert(snaps.map(_.metrics("links_out")).sum == eL)
+    assert(snaps.map(_.metrics("parse_errors")).sum == eE)
+    // dead link: visited but no page row — the fetched − pages_hit residual
+    assert(snaps.map(_.metrics("fetched")).sum - eP >= 1)
+    // per-partition rows sum to the same totals, with sane partition ids
+    val pm = snaps.flatMap(_.partitionMetrics)
+    assert(pm.map(_.pages).sum == eP && pm.map(_.bytesHtml).sum == eB &&
+      pm.map(_.linksOut).sum == eL && pm.map(_.parseErrors).sum == eE)
+    assert(pm.forall(_.partitionId >= 0))
+    // the §1.2 metrics-table reader materializes the same rows
+    val mt = store.partitionMetricsTable()
+    assert(mt.columns.toSeq == Seq("epoch", "partition_id", "pages",
+      "bytes_html", "links_out", "parse_errors"))
+    assert(mt.agg(sum("pages"), sum("bytes_html"), sum("links_out"),
+      sum("parse_errors")).as[(Long, Long, Long, Long)].head ==
+      ((eP, eB, eL, eE)))
+  }
+
+  test("links compaction: identical results, fewer manifest files, " +
+    "crash-safe re-run, time travel intact") {
+    val (domain, budget, seeds, _) = config("basic")
+    val pages = loadPages("basic")
+    val golden = resLines("/sites/basic/links.txt")
+    val whC = Files.createTempDirectory("graft-compact-").toString
+    val compactCfg = CrawlConfig(domain, budget, numPartitions = 4,
+      linksCompactMinRows = 1, linksCompactFactor = 1.5)
+    val rc = new CrawlEngine(spark, compactCfg).run(pages, seeds, whC)
+    assert(rc.links.select("url").orderBy("url").as[String].collect().toSeq == golden)
+    // materialize now: the crash-simulation below re-runs epochs and
+    // overwrites their delta dirs, invalidating this run's lazy plans
+    val rcTrace = rc.trace.select("epoch", "url").as[(Int, String)].collect().toSeq
+    val storeC = new graft.snapshot.SnapshotStore(spark, whC)
+    val snapsC = (0 until rc.epochs).flatMap(storeC.snapshotAt)
+    assert(snapsC.exists(_.metrics("links_compacted") == 1L), "never compacted")
+    // compacted manifest lists fewer link files than the append-only control
+    val whA = Files.createTempDirectory("graft-nocompact-").toString
+    val ra = new CrawlEngine(spark, CrawlConfig(domain, budget, numPartitions = 4,
+      linksCompactFactor = 0)).run(pages, seeds, whA)
+    val filesC = storeC.latest().get.tables("links").dataFiles.size
+    val filesA = new graft.snapshot.SnapshotStore(spark, whA)
+      .latest().get.tables("links").dataFiles.size
+    assert(filesC < filesA, s"compacted $filesC !< append-only $filesA")
+    assert(ra.links.select("url").orderBy("url").as[String].collect().toSeq == golden)
+    // time travel: a pre-compaction snapshot still reads through its own
+    // (never-deleted) delta files
+    val mid = storeC.snapshotAt(0).get
+    assert(storeC.readTable(mid, "links").distinct().count() <= golden.size)
+    // crash-safety: drop manifests back past a compaction and resume — the
+    // re-run overwrites the orphan compact dirs and converges identically
+    storeC.truncateAfter(1)
+    val resumed = new CrawlEngine(spark, compactCfg).run(pages, seeds, whC)
+    assert(resumed.links.select("url").orderBy("url").as[String].collect().toSeq == golden)
+    assert(resumed.trace.select("epoch", "url").as[(Int, String)].collect().toSeq ==
+      rcTrace)
+  }
+
   test("resume: interrupted run continues to identical final state") {
     val (domain, budget, _, _) = config("basic")
     val pages = loadPages("basic")

@@ -1,0 +1,93 @@
+package graft.sketch
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Exact-membership contract of the bucket-local seen store: byte-exact
+  * lookups (incl. astral-plane and prefix-adjacent urls), epoch-bounded
+  * visibility (the exact-resume precondition), idempotent delta rewrite,
+  * and seek-search ≡ bulk-load equivalence across the adaptive threshold.
+  */
+class SeenUrlStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshStore(buckets: Int = 8): SeenUrlStore =
+    new SeenUrlStore(
+      Files.createTempDirectory("graft-seenstore-").toString + "/seen", buckets)
+
+  private def urls(from: Int, n: Int): Seq[String] =
+    (from until from + n).map(i => s"https://h${i % 7}.example.com/p/$i?v=${i * 31}")
+
+  test("filterUnseen removes exactly the stored urls (multi-epoch, unicode)") {
+    val store = freshStore()
+    val e0 = urls(0, 500) ++ Seq("https://x.example.com/😀/😀",
+      "https://x.example.com/a", "https://x.example.com/ab")
+    val e1 = urls(500, 300)
+    store.writeDelta(e0.toDF("url"), 0)
+    store.writeDelta(e1.toDF("url"), 1)
+    val probe = (urls(250, 600) /* spans both deltas + 100 unseen */ ++
+      Seq("https://x.example.com/😀/😀", // stored
+        "https://x.example.com/ab", // stored; prefix-adjacent to /a
+        "https://x.example.com/abc", // NOT stored (prefix of no entry)
+        "https://x.example.com/")) // NOT stored
+      .toDF("url").withColumn("tag", lit(7))
+    val out = store.filterUnseen(probe, "url", upToEpoch = 1)
+      .select("url").as[String].collect().toSet
+    val expected = (urls(250, 600).toSet -- urls(250, 550).toSet) ++
+      Set("https://x.example.com/abc", "https://x.example.com/")
+    assert(out == expected)
+    // schema preserved (extra columns survive the filter)
+    assert(store.filterUnseen(probe, "url", 1).columns.toSeq == Seq("url", "tag"))
+  }
+
+  test("epoch-bounded visibility: later deltas are invisible (exact resume)") {
+    val store = freshStore()
+    store.writeDelta(urls(0, 100).toDF("url"), 0)
+    store.writeDelta(urls(100, 100).toDF("url"), 3)
+    val probe = urls(0, 200).toDF("url")
+    // upTo 0: epoch-3 urls unseen
+    assert(store.filterUnseen(probe, "url", 0).count() == 100)
+    // upTo 2: ditto (no epoch 1/2 files)
+    assert(store.filterUnseen(probe, "url", 2).count() == 100)
+    // upTo 3: everything seen
+    assert(store.filterUnseen(probe, "url", 3).count() == 0)
+  }
+
+  test("delta rewrite is idempotent (task-retry / resumed-epoch contract)") {
+    val store = freshStore()
+    store.writeDelta(urls(0, 300).toDF("url"), 0)
+    store.writeDelta(urls(0, 300).toDF("url"), 0) // same epoch, overwrite
+    val probe = urls(0, 400).toDF("url")
+    assert(store.filterUnseen(probe, "url", 0).count() == 100)
+  }
+
+  test("sparse seek-search ≡ dense bulk-load across the adaptive threshold") {
+    val store = freshStore(buckets = 2)
+    // big shard: ~10k urls per bucket, data region > 256 KB ⇒ sparse probes
+    // take the positioned-read binary search, dense probes the bulk path
+    val big = (0 until 20000).map(i =>
+      s"https://h${i % 3}.example.com/long/pad/pad/pad/pad/pad/$i?v=${i * 31}")
+    store.writeDelta(big.toDF("url"), 0)
+    val sparseProbe = big.take(40) ++ big.take(40).map(_ + "x")
+    val sparse = store.filterUnseen(sparseProbe.toDF("url"), "url", 0)
+      .as[String].collect().toSet
+    assert(sparse == big.take(40).map(_ + "x").toSet)
+    val denseProbe = big ++ big.map(_ + "x")
+    val dense = store.filterUnseen(denseProbe.toDF("url"), "url", 0)
+      .as[String].collect().toSet
+    assert(dense == big.map(_ + "x").toSet)
+  }
+
+  test("empty store and bucket-less probes pass everything through") {
+    val store = freshStore()
+    assert(!store.hasAnyData(spark.sparkContext.hadoopConfiguration))
+    assert(store.filterUnseen(urls(0, 50).toDF("url"), "url", 99).count() == 50)
+    store.writeDelta(urls(0, 10).toDF("url"), 0)
+    assert(store.hasAnyData(spark.sparkContext.hadoopConfiguration))
+  }
+}
