@@ -293,6 +293,8 @@ object Bench {
     graft.multimodal.MediaOps.cachedCorpus(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
       cacheKey = sfDir).count()
+    // same treatment for the crawl queries' bucket-adopted synth site
+    SparkEntry.warmCaches(spark, sfDir)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

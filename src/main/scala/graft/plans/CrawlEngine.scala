@@ -657,7 +657,16 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
           // the shard files for this epoch are written by vStateF — they
           // must be on disk before the probe job launches
           Await.result(vStateF, scala.concurrent.duration.Duration.Inf)
-          seenStore.filterUnseen(df, "url", epoch)
+          // candidates flow out of the groupBy(url) exchange (and the
+          // broadcast sketch probe is narrow), so when the store's bucket
+          // count matches that exchange's partitioning the probe needs NO
+          // exchange of its own. The sharded bloom file-probe re-routes by
+          // ITS bucket key, which breaks the alignment — keep the exchange
+          // there. Alignment is a perf hint only; the probe is correct
+          // under any distribution.
+          val aligned = !fileProbe &&
+            seenStore.numBuckets == spark.sessionState.conf.numShufflePartitions
+          seenStore.filterUnseen(df, "url", epoch, assumeDistributed = aligned)
         } else { df =>
           df.join(visitedAll.select("url"), Seq("url"), "left_anti")
         }

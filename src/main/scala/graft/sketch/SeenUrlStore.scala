@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
   *
   *  - '''writeDelta(urls, epoch)''': the epoch's fetched urls (O(epoch), the
   *    only state that is new) are repartitioned by url-hash bucket
-  *    ([[BloomShardStore.bucketOf]] — the same router as the bloom shards
-  *    and the plan-side [[graft.plans.planfns.url_shard]]); each task writes
+  *    ([[bucketCol]] = `pmod(hash(url), B)` — deliberately Spark's own
+  *    HashPartitioning id function); each task writes
   *    one SORTED file per bucket: `bucket=<b>/e<epoch>.seen`, atomic rename.
-  *  - '''filterUnseen(df, urlCol, upToEpoch)''': candidates are repartitioned
-  *    by the same bucket key (an O(candidates) exchange); each task consults
+  *  - '''filterUnseen(df, urlCol, upToEpoch)''': candidates are routed by
+  *    the same bucket key — at worst an O(candidates) exchange, and ZERO
+  *    exchange when the frame is already url-hash-partitioned with matching
+  *    partition count (`assumeDistributed`); each task consults
   *    only its buckets' files with epoch ≤ `upToEpoch` — binary search by
   *    positioned reads for sparse probes (cost O(probes·log n), FLAT in the
   *    accumulated seen size), switching to a one-shot bulk load + in-memory
@@ -66,7 +68,7 @@ final class SeenUrlStore(val dir: String, val numBuckets: Int) extends Serializa
       s"writeDelta expects a single url column, got ${urls.columns.mkString(",")}")
     val (d, nb) = (dir, numBuckets)
     urls
-      .withColumn("__b", graft.plans.planfns.url_shard(col(urls.columns.head), nb))
+      .withColumn("__b", bucketCol(col(urls.columns.head)))
       .repartition(nb, col("__b"))
       .sortWithinPartitions("__b")
       .foreachPartition { (it: Iterator[Row]) =>
@@ -86,29 +88,57 @@ final class SeenUrlStore(val dir: String, val numBuckets: Int) extends Serializa
       }
   }
 
+  /** The bucket of a url Column — `pmod(hash(url), B)`, i.e. EXACTLY Spark's
+    * own `HashPartitioning` id function. That choice makes a frame that is
+    * already hash-partitioned by url (every post-groupBy/distinct candidate
+    * frame in the engine) arrive with each bucket wholly inside one task, so
+    * the probe can skip its exchange entirely (`assumeDistributed`).
+    */
+  def bucketCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(hash(url), lit(numBuckets))
+
   /** Rows of `df` whose `urlCol` is in NO shard file with epoch ≤
     * `upToEpoch`. Exact (byte-equality on UTF-8), schema-preserving.
+    *
+    * `assumeDistributed = true` skips the co-locating exchange: correctness
+    * NEVER depends on it (each task groups its rows by computed bucket and
+    * opens exactly those buckets' files), it only bounds duplicate shard
+    * loads — pass true only when `df` is already hash-partitioned by url
+    * with partition count == numBuckets (then bucket i ⊆ partition i, even
+    * under AQE coalescing, which merges whole partitions).
     */
-  def filterUnseen(df: DataFrame, urlCol: String, upToEpoch: Int): DataFrame = {
+  def filterUnseen(df: DataFrame, urlCol: String, upToEpoch: Int,
+      assumeDistributed: Boolean = false): DataFrame = {
     val (d, nb) = (dir, numBuckets)
     val width = df.schema.size
     val urlIdx = df.schema.fieldIndex(urlCol)
     val outSchema = df.schema
-    df.withColumn("__b", graft.plans.planfns.url_shard(col(urlCol), nb))
-      .repartition(nb, col("__b"))
-      .sortWithinPartitions("__b")
+    val keyed = df.withColumn("__b", bucketCol(col(urlCol)))
+    val routed =
+      if (assumeDistributed) keyed
+      else keyed.repartition(nb, col("__b"))
+    routed
       .mapPartitions { it =>
         val conf = new Configuration()
-        // rows arrive grouped by bucket; process one bucket group at a time
-        // (the group is materialized anyway to pick the search strategy)
-        val rowsIt = it.buffered
+        // group the task's rows by bucket (a task may hold several buckets —
+        // always under AQE coalescing, and by design when the caller skipped
+        // the exchange), then probe one bucket at a time
+        val groups = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[Row]]()
+        it.foreach { row =>
+          val b = row.getInt(width)
+          var g = groups.get(b)
+          if (g == null) {
+            g = scala.collection.mutable.ArrayBuffer.empty[Row]
+            groups.put(b, g)
+          }
+          g += row
+        }
+        val buckets = groups.keySet().iterator()
         new Iterator[Seq[Row]] {
-          def hasNext: Boolean = rowsIt.hasNext
+          def hasNext: Boolean = buckets.hasNext
           def next(): Seq[Row] = {
-            val b = rowsIt.head.getInt(width)
-            val group = scala.collection.mutable.ArrayBuffer.empty[Row]
-            while (rowsIt.hasNext && rowsIt.head.getInt(width) == b)
-              group += rowsIt.next()
+            val b = buckets.next()
+            val group = groups.get(b)
             val shards = openBucket(s"$d/bucket=$b", upToEpoch, group.size, conf)
             try {
               group.iterator.filter { r =>

@@ -83,6 +83,25 @@ class SeenUrlStoreSpec extends AnyFunSuite {
     assert(dense == big.map(_ + "x").toSet)
   }
 
+  test("assumeDistributed: zero-exchange probe ≡ routed probe, and stays " +
+    "correct even on a deliberately misaligned distribution") {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val store = freshStore(buckets = 4)
+    store.writeDelta(urls(0, 2000).toDF("url"), 0)
+    val probe = urls(1000, 2000).toDF("url") // half seen, half not
+    val expected = store.filterUnseen(probe, "url", 0).as[String].collect().toSet
+    assert(expected == urls(2000, 1000).toSet)
+    // aligned: pre-partitioned by the store's own bucket fn (Spark hash)
+    val aligned = probe.repartition(4, pmod(hash(col("url")), lit(4)))
+    assert(store.filterUnseen(aligned, "url", 0, assumeDistributed = true)
+      .as[String].collect().toSet == expected)
+    // misaligned (partitioned by something else) with the flag still set:
+    // slower (duplicate shard opens), never wrong
+    val misaligned = probe.repartition(3, col("url"))
+    assert(store.filterUnseen(misaligned, "url", 0, assumeDistributed = true)
+      .as[String].collect().toSet == expected)
+  }
+
   test("empty store and bucket-less probes pass everything through") {
     val store = freshStore()
     assert(!store.hasAnyData(spark.sparkContext.hadoopConfiguration))
