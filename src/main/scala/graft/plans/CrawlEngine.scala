@@ -57,6 +57,11 @@ import graft.url.urlfns._
   * @param seenStoreBuckets url-hash buckets for the seen shard store; 0 ⇒
   *                        numPartitions. Size so one shard (total-seen ×
   *                        ~60 B / buckets) fits task memory (2^14 at 10^10).
+  * @param seenCompactEvery every this many epochs, fold each bucket's seen
+  *                        delta shards into one base file (DRUM-style merge;
+  *                        probe cost stops growing with epoch count;
+  *                        amortized O(seen/every) per epoch; deltas kept for
+  *                        exact resume). ≤ 0 disables.
   * @param linksCompactFactor links is an append-only delta table whose
   *                        global distinct is taken at read; when its
   *                        cumulative row count grows past this factor × the
@@ -81,6 +86,7 @@ final case class CrawlConfig(
     sketchKind: String = "bloom",
     seenDedup: String = "bucketlocal",
     seenStoreBuckets: Int = 0,
+    seenCompactEvery: Int = 64,
     linksCompactFactor: Double = 3.0,
     linksCompactMinRows: Long = 1000000L,
     bloomBroadcastMaxBytes: Long = 256L << 20,
@@ -700,6 +706,14 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         else lStateRaw
       if (doCompact) lap("links_compact")
       if (linksBaseRows == 0 || doCompact) linksBaseRows = lState.totalRows
+      // periodic seen-shard merge (amortized; the per-epoch delta for this
+      // epoch is already on disk via vStateF)
+      val seenCompacted = useSeenStore && config.seenCompactEvery > 0 &&
+        epoch > 0 && epoch % config.seenCompactEvery == 0
+      if (seenCompacted) {
+        seenStore.compact(spark, epoch)
+        lap("seen_compact")
+      }
       // the per-epoch sketch broadcast is consumed only by the frontier
       // write above — release it so long crawls don't accumulate broadcast
       // state on the driver/executors
@@ -729,6 +743,7 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
           "seen_bucketlocal" -> (if (useSeenStore) 1L else 0L),
           "links_base_rows" -> linksBaseRows,
           "links_compacted" -> (if (doCompact) 1L else 0L),
+          "seen_compacted" -> (if (seenCompacted) 1L else 0L),
           "pages_hit" -> pmetrics.map(_.pages).sum,
           "bytes_html" -> pmetrics.map(_.bytesHtml).sum,
           "links_out" -> pmetrics.map(_.linksOut).sum,

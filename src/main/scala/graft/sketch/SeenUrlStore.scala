@@ -88,6 +88,27 @@ final class SeenUrlStore(val dir: String, val numBuckets: Int) extends Serializa
       }
   }
 
+  /** DRUM-style periodic merge: per bucket, fold every delta shard with
+    * epoch ≤ `upToEpoch` (and any older base) into one `c<upToEpoch>.seen`
+    * base file — probe cost stops growing with epoch count (a 500-epoch
+    * crawl would otherwise open 500 delta files per consulted bucket).
+    * Deltas are NEVER deleted: a resume that truncates snapshots back past
+    * this compaction ignores the base (its epoch exceeds the probe's
+    * `upToEpoch`) and falls back to the per-epoch deltas, so exact resume
+    * is preserved; the re-run re-compacts deterministically (atomic
+    * overwrite). Safe to run concurrently with probes — readers see the
+    * base or not, and membership is identical either way.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, upToEpoch: Int): Unit = {
+    val (d, nb) = (dir, numBuckets)
+    import spark.implicits._
+    spark.range(0, nb, 1, math.min(nb, 64)).as[Long]
+      .foreachPartition { (it: Iterator[Long]) =>
+        val conf = new Configuration()
+        it.foreach(b => compactBucket(s"$d/bucket=$b", upToEpoch, conf))
+      }
+  }
+
   /** The bucket of a url Column — `pmod(hash(url), B)`, i.e. EXACTLY Spark's
     * own `HashPartitioning` id function. That choice makes a frame that is
     * already hash-partitioned by url (every post-groupBy/distinct candidate
@@ -209,14 +230,41 @@ object SeenUrlStore {
       .rename(tmp, fin, Options.Rename.OVERWRITE)
   }
 
-  /** All committed shards of one bucket with epoch ≤ upToEpoch, newest first
-    * (recent epochs are likelier hits for steady-state candidates).
+  /** One bucket's shard files relevant at `upToEpoch`: the newest base
+    * (`c<N>.seen`, N ≤ upToEpoch) if any, plus the deltas (`e<i>.seen`) with
+    * baseN < i ≤ upToEpoch — newest first (recent epochs are likelier hits
+    * for steady-state candidates; the base goes last).
+    */
+  private def selectFiles(bucketDir: String, upToEpoch: Int,
+      conf: Configuration): (org.apache.hadoop.fs.FileSystem, Seq[Path]) = {
+    val p = new Path(bucketDir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return (fs, Nil)
+    val named = fs.listStatus(p).toSeq.filter(_.isFile).flatMap { s =>
+      val name = s.getPath.getName
+      if (!name.endsWith(".seen")) None
+      else {
+        val kind = name.charAt(0)
+        scala.util.Try(name.substring(1).stripSuffix(".seen").toInt).toOption
+          .collect { case e if (kind == 'e' || kind == 'c') && e <= upToEpoch =>
+            (kind, e, s.getPath)
+          }
+      }
+    }
+    val base = named.filter(_._1 == 'c').sortBy(-_._2).headOption
+    val floor = base.map(_._2).getOrElse(Int.MinValue)
+    val deltas = named.filter(f => f._1 == 'e' && f._2 > floor)
+      .sortBy(-_._2).map(_._3)
+    (fs, deltas ++ base.map(_._3).toSeq)
+  }
+
+  /** All committed shards of one bucket with epoch ≤ upToEpoch, opened for
+    * probing.
     */
   private def openBucket(bucketDir: String, upToEpoch: Int, nProbes: Int,
       conf: Configuration): Seq[SortedShard] = {
-    val p = new Path(bucketDir)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return Nil
+    val (fs, files) = selectFiles(bucketDir, upToEpoch, conf)
+    if (files.isEmpty) return Nil
     // the binary-search path issues many small positioned reads; on a local
     // filesystem Hadoop's ChecksumFileSystem turns each into crc-chunk
     // verification (~100s of µs) — read through the raw fs instead (shard
@@ -225,16 +273,43 @@ object SeenUrlStore {
       case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
       case other => other
     }
-    fs.listStatus(p).toSeq
-      .filter(_.isFile)
-      .flatMap { s =>
-        val name = s.getPath.getName
-        if (!name.startsWith("e") || !name.endsWith(".seen")) None
-        else scala.util.Try(name.stripPrefix("e").stripSuffix(".seen").toInt)
-          .toOption.filter(_ <= upToEpoch).map(e => (e, s.getPath))
+    files.map(path => SortedShard.open(readFs.open(path), nProbes))
+  }
+
+  /** Every url of one shard file (compaction input). */
+  private def readAllUrls(fs: org.apache.hadoop.fs.FileSystem, path: Path,
+      out: scala.collection.mutable.ArrayBuffer[Array[Byte]]): Unit = {
+    val in = fs.open(path)
+    try {
+      val magic = in.readInt()
+      require(magic == Magic, f"bad seen-shard magic 0x$magic%08x")
+      val n = in.readInt()
+      val raw = new Array[Byte]((n + 1) * 8)
+      in.readFully(8L, raw, 0, raw.length)
+      val bb = java.nio.ByteBuffer.wrap(raw)
+      val offsets = new Array[Long](n + 1)
+      var i = 0
+      while (i <= n) { offsets(i) = bb.getLong(); i += 1 }
+      val data = new Array[Byte](offsets(n).toInt)
+      in.readFully(8L + 8L * (n + 1), data, 0, data.length)
+      i = 0
+      while (i < n) {
+        out += java.util.Arrays.copyOfRange(data, offsets(i).toInt, offsets(i + 1).toInt)
+        i += 1
       }
-      .sortBy(-_._1)
-      .map { case (_, path) => SortedShard.open(readFs.open(path), nProbes) }
+    } finally in.close()
+  }
+
+  /** Fold one bucket's base + deltas (≤ upToEpoch) into `c<upToEpoch>.seen`.
+    * No-op when there is at most one file to fold.
+    */
+  private def compactBucket(bucketDir: String, upToEpoch: Int,
+      conf: Configuration): Unit = {
+    val (fs, files) = selectFiles(bucketDir, upToEpoch, conf)
+    if (files.size <= 1) return
+    val urls = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    files.foreach(f => readAllUrls(fs, f, urls))
+    writeShard(s"$bucketDir/c$upToEpoch.seen", urls, conf)
   }
 
   /** One open sorted shard, loaded LAZILY: opening reads only the 8-byte

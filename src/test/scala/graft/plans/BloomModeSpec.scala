@@ -56,6 +56,31 @@ class BloomModeSpec extends AnyFunSuite {
     assert(withSketch == plain)
   }
 
+  test("periodic seen-shard compaction mid-crawl and across truncate-resume " +
+    "keeps the trace exact") {
+    val cfg = CrawlConfig(domain, numPartitions = 4, bloomMinSeen = 4,
+      bloomExpectedTotal = 1024, seenCompactEvery = 2)
+    // ~n epochs on the cyclic site ⇒ many compaction points
+    val (trace, links) = crawl(cfg)
+    assert((trace, links) == plain)
+    // truncate past several compactions and resume: bases newer than the
+    // resumed epoch are ignored (epoch-bounded reader) and the re-run
+    // regenerates identical state
+    val wh = Files.createTempDirectory("graft-seencompact-").toString
+    new CrawlEngine(spark, cfg.copy(maxEpochs = 8))
+      .run(cyclicPages, s"https://$domain/p/0", wh)
+    new graft.snapshot.SnapshotStore(spark, wh).truncateAfter(3)
+    val resumed = new CrawlEngine(spark, cfg).run(cyclicPages, s"https://$domain/p/0", wh)
+    val got = (resumed.trace.select("epoch", "url").as[(Int, String)].collect().toSeq,
+      resumed.links.select("url").orderBy("url").as[String].collect().toSeq)
+    assert(got == plain)
+    // compaction actually produced base files
+    val buckets = new java.io.File(s"$wh/seenstore").listFiles()
+    assert(buckets != null &&
+      buckets.exists(d => d.isDirectory &&
+        d.listFiles().exists(_.getName.startsWith("c"))), "no base files written")
+  }
+
   test("warm-up: bloom activating mid-crawl never re-visits early URLs") {
     // activates around epoch 3; pages 0..2 were fetched before activation
     val (trace, links) = crawl(CrawlConfig(domain, numPartitions = 4,

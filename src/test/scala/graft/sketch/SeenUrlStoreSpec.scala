@@ -102,6 +102,33 @@ class SeenUrlStoreSpec extends AnyFunSuite {
       .as[String].collect().toSet == expected)
   }
 
+  test("compaction: membership identical, epoch-bounded visibility intact " +
+    "(a base past the probe's epoch is ignored — exact resume), idempotent") {
+    val store = freshStore(buckets = 4)
+    store.writeDelta(urls(0, 300).toDF("url"), 0)
+    store.writeDelta(urls(300, 300).toDF("url"), 1)
+    store.writeDelta(urls(600, 300).toDF("url"), 2)
+    val probe = urls(0, 1000).toDF("url")
+    def unseen(upTo: Int): Set[String] =
+      store.filterUnseen(probe, "url", upTo).as[String].collect().toSet
+    val before2 = unseen(2)
+    val before1 = unseen(1)
+    store.compact(spark, 1) // folds e0+e1 into c1
+    store.compact(spark, 1) // idempotent re-run
+    assert(unseen(2) == before2, "membership changed after compaction")
+    assert(unseen(1) == before1)
+    // exact-resume semantics: a probe at epoch 0 must ignore c1 (it covers
+    // urls from epoch 1) and answer from e0 alone
+    assert(unseen(0) == (urls(300, 700).toSet))
+    // second-level compaction folds the base + later deltas
+    store.compact(spark, 2)
+    assert(unseen(2) == before2)
+    assert(unseen(1) == before1, "c2 must be invisible at upTo=1")
+    // base files exist on disk
+    val dirs = new java.io.File(store.dir).listFiles().filter(_.isDirectory)
+    assert(dirs.exists(d => d.listFiles().exists(_.getName.startsWith("c"))))
+  }
+
   test("empty store and bucket-less probes pass everything through") {
     val store = freshStore()
     assert(!store.hasAnyData(spark.sparkContext.hadoopConfiguration))
