@@ -28,20 +28,20 @@ package graft
   */
 object OracleHashSql {
 
-  private val M64 = "18446744073709551616::HUGEINT" // 2^64
+  private[graft] val M64 = "18446744073709551616::HUGEINT" // 2^64
 
-  private def unsigned(v: Long): String = java.lang.Long.toUnsignedString(v)
+  private[graft] def unsigned(v: Long): String = java.lang.Long.toUnsignedString(v)
 
   /** x ^ y over [0,2^64) HUGEINTs, via UBIGINT. */
-  private def ubxor(a: String, b: String): String =
+  private[graft] def ubxor(a: String, b: String): String =
     s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
 
   /** (a * c) mod 2^64 for 0 <= c < 2^63. */
-  private def wrapMulSmall(a: String, c: Long): String =
+  private[graft] def wrapMulSmall(a: String, c: Long): String =
     s"((($a) * ${c}::HUGEINT) % $M64)"
 
   /** (a * c) mod 2^64 for 2^63 <= c < 2^64, by 32-bit split of c. */
-  private def wrapMulBig(a: String, c: Long): String = {
+  private[graft] def wrapMulBig(a: String, c: Long): String = {
     val ch = c >>> 32
     val cl = c & 0xffffffffL
     val lo = wrapMulSmall(a, cl)
@@ -54,7 +54,7 @@ object OracleHashSql {
     * (cte definitions, final cte name). A chain — not textual nesting —
     * because each xor-shift step references z twice.
     */
-  private def mix64Ctes(src: String, carry: Seq[String]): (Seq[String], String) = {
+  private[graft] def mix64Ctes(src: String, carry: Seq[String]): (Seq[String], String) = {
     val steps = Seq(
       s"((z + ${unsigned(0x9e3779b97f4a7c15L)}::HUGEINT) % $M64)",
       ubxor("z", "z // 1073741824"), // z ^ (z >>> 30)

@@ -27,8 +27,11 @@ import graft.url.urlfns._
   * deterministic plane constants into the SQL (bucketSqlExpr), and the
   * wrapping-64-bit hash family (minhash/simhash/fingerprint) is emulated
   * exactly in DuckDB HUGEINT mod-2^64 arithmetic ([[OracleHashSql]]).
-  * Crawl-native operators (HTML/URL parsing, the epoch loop) are not ANSI
-  * SQL → rows-only, each covered by golden/differential sbt suites.
+  * Crawl-native operators run over the deterministic SiteGen site, whose
+  * splitmix64 draw stream [[OracleSiteSql]] emulates exactly in DuckDB
+  * HUGEINT arithmetic — so extraction counts, text lengths, and the epoch
+  * loop's visited table are hash-oracled too, not just rows-only. Every
+  * query on this surface now carries a DuckDB twin.
   */
 object SparkEntry {
 
@@ -94,11 +97,15 @@ object SparkEntry {
       hosts: Int, outDegree: Int, numPartitions: Int): graft.snapshot.BucketedPages = {
     import graft.snapshot.BucketedPages
     val buckets = math.max(8L, nPages / 2000L).toInt
+    // cache key carries the seed: an earlier positional-arg slip passed
+    // numPartitions into SiteGen.pages' seed slot, so bkt1-keyed dirs hold a
+    // seed-8 corpus — bkt2 + explicit s42 keeps them from ever being served
     val dir = s"${System.getProperty("java.io.tmpdir")}/" +
-      s"graft-site-bkt1-$domain-$nPages-$hosts-$outDegree-$buckets"
+      s"graft-site-bkt2-$domain-$nPages-$hosts-$outDegree-$buckets-s42"
     if (BucketedPages.manifestExists(s, dir)) BucketedPages.load(s, dir)
     else BucketedPages.adopt(s,
-      SiteGen.pages(s, domain, nPages, hosts, outDegree, numPartitions),
+      SiteGen.pages(s, domain, nPages, hosts = hosts, outDegree = outDegree,
+        seed = 42L, numPartitions = numPartitions),
       dir, buckets)
   }
 
@@ -404,6 +411,22 @@ object SparkEntry {
         maxEpochs = 2)).run(pages, s"https://$domain", wh)
       result.visited
     },
+    "q_crawl_depth3" -> { (s, d) =>
+      // one BFS level deeper than q_crawl_epoch (same cached bucketed site):
+      // epoch 2's frontier is REAL extraction output — draw-stream link
+      // targets, href quirk forms, dup anchors, domain/scheme gates, and the
+      // seen dedup all land in visited, and the DuckDB twin
+      // (OracleSiteSql.crawlVisited) replays every one of them in SQL via
+      // the splitmix64 HUGEINT emulation — the epoch loop's first hash-exact
+      // driver oracle
+      val domain = "example.com"
+      val pages = bucketedSite(s, domain, crawlPages(d), hosts = 4,
+        outDegree = 8, numPartitions = 8)
+      val wh = Files.createTempDirectory("graft-q-depth3-").toString
+      val result = new CrawlEngine(s, CrawlConfig(domain, numPartitions = 8,
+        maxEpochs = 3)).run(pages, s"https://$domain", wh)
+      result.visited
+    },
     "q_robots_gate" -> { (s, d) =>
       // RFC 9309 longest-prefix gate over sfDir-derived URLs; the DuckDB twin
       // hand-compiles the longest-prefix decision for this rule set
@@ -636,7 +659,16 @@ object SparkEntry {
       s"""WITH qq AS ($qualityStatsSql), ${OracleHashSql.fingerprintCtes}
          SELECT qq.doc_id, qq.lang_guess, qq.quality, fpp.fp64
          FROM qq JOIN fpp ON qq.doc_id = fpp.doc_id""",
-    "q_quality_stats" -> qualityStatsSql)
+    "q_quality_stats" -> qualityStatsSql,
+    // crawl-native flips (OracleSiteSql): SiteGen is a pure splitmix64
+    // function of the page index, and OracleHashSql's HUGEINT mod-2^64
+    // machinery emulates that stream exactly in DuckDB — so extraction
+    // counts, text lengths, and the epoch loop's visited table are
+    // hand-compilable after all (the q_clean_urls approach, completed)
+    "q_extract_links" -> OracleSiteSql.extractLinks,
+    "q_crawl_epoch" -> OracleSiteSql.crawlVisited(2),
+    "q_crawl_depth3" -> OracleSiteSql.crawlVisited(3),
+    "q_media_features" -> OracleSiteSql.mediaFeatures(dim = 16, outW = 64, outH = 64))
 
   /** lang-ID + composite quality replicated from scratch in DuckDB SQL
     * (shared by q_quality_stats and q_lang_quality).
