@@ -162,6 +162,81 @@ object OracleSiteSql {
     }
   }
 
+  /** Twin of a BUDGETED depth-priority crawl's visited table (epoch, url) at
+    * maxEpochs = 3 — the politeness window, deferral carry-over, and the
+    * frontier PQ replayed INSIDE the epoch loop, not just standalone:
+    *
+    *   epoch 0: the seed page (budget ≥ 1).
+    *   epoch 1: per-host top-`budget` of the seed fanout by (priority, url)
+    *            — all priority 1, so pure url order; the rest defer at
+    *            priority 1 (CrawlEngine.politenessSplit's two-phase window
+    *            is exactly per-host row_number ≤ budget).
+    *   epoch 2: frontier = deferred (p=1) ∪ (links of the epoch-1 FETCHED
+    *            pages − visited, p=2), min-merged per url; per-host
+    *            top-`budget` again — deferred URLs outrank new discoveries
+    *            (O-9 depth priority), exercised because the budget binds.
+    *
+    * DuckDB VARCHAR ordering is binary like Spark's UTF8_BINARY, so the
+    * (priority, url) ranks agree byte-for-byte.
+    */
+  def crawlBudgetVisited(budget: Int): String = {
+    val (baseCtes, pbm) = pageBaseCtes(42L, "SELECT i FROM s1")
+    val (drawDefs, drawLast) = mix64Ctes("dk", Seq("i", "k"))
+    s"""WITH $scaleCtes,
+       |fanout AS (
+       |  SELECT j AS i, ${pageUrlExpr("j")} AS url, ${hostExpr("j")} AS host
+       |  FROM (SELECT unnest(generate_series(0, (SELECT m - 1 FROM mm))) AS j)
+       |), ranked1 AS (
+       |  SELECT i, url, host,
+       |    row_number() OVER (PARTITION BY host ORDER BY url) AS r
+       |  FROM fanout
+       |), s1 AS (SELECT i, url, host FROM ranked1 WHERE r <= $budget),
+       |defer1 AS (SELECT url, host FROM ranked1 WHERE r > $budget),
+       |$baseCtes,
+       |dk AS (
+       |  SELECT i, k, ((z + k) % $M64) AS z
+       |  FROM $pbm CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k)
+       |), ${drawDefs.mkString(",\n")},
+       |slot AS (
+       |  SELECT i, k,
+       |    CASE WHEN k < 4 THEN (2 * i + k + 1) % (SELECT n FROM nn)
+       |         ELSE CAST((z % 9223372036854775808::HUGEINT) % CAST((SELECT n FROM nn) AS HUGEINT) AS BIGINT)
+       |    END AS target,
+       |    (z // 256) % 10 AS form
+       |  FROM $drawLast
+       |), cand2 AS (
+       |  -- links of the FETCHED epoch-1 pages, minus visited (seed ∪ s1);
+       |  -- deferred targets are NOT visited — they merge below at min priority
+       |  SELECT DISTINCT url, host FROM (
+       |    SELECT CASE WHEN form = 2 THEN ${pageUrlExpr("target")} || '?ref=' || i
+       |                ELSE ${pageUrlExpr("target")} END AS url,
+       |      ${hostExpr("target")} AS host,
+       |      CASE WHEN form = 2 THEN FALSE
+       |           ELSE EXISTS (SELECT 1 FROM s1 WHERE s1.i = slot.target) END AS seen
+       |    FROM slot
+       |    UNION ALL
+       |    SELECT ${pageUrlExpr("(2 * i + 1) % (SELECT n FROM nn)")} AS url,
+       |      ${hostExpr("(2 * i + 1) % (SELECT n FROM nn)")} AS host,
+       |      EXISTS (SELECT 1 FROM s1
+       |        WHERE s1.i = (2 * pages_.i + 1) % (SELECT n FROM nn)) AS seen
+       |    FROM pages_
+       |  ) WHERE NOT seen
+       |), frontier2 AS (
+       |  SELECT url, host, min(priority) AS priority FROM (
+       |    SELECT url, host, 1 AS priority FROM defer1
+       |    UNION ALL SELECT url, host, 2 AS priority FROM cand2
+       |  ) GROUP BY url, host
+       |), fetch2 AS (
+       |  SELECT url FROM (
+       |    SELECT url,
+       |      row_number() OVER (PARTITION BY host ORDER BY priority, url) AS r
+       |    FROM frontier2) WHERE r <= $budget
+       |)
+       |SELECT CAST(0 AS INTEGER) AS epoch, 'https://example.com' AS url
+       |UNION ALL SELECT CAST(1 AS INTEGER) AS epoch, url FROM s1
+       |UNION ALL SELECT CAST(2 AS INTEGER) AS epoch, url FROM fetch2""".stripMargin
+  }
+
   /** Twin of q_media_features' metadata projection: the synthetic corpus
     * assigns media type, dims, and duration as pure functions of doc_id
     * (MediaOps.synthesize), and the feature pass emits exactly one row per

@@ -427,6 +427,22 @@ object SparkEntry {
         maxEpochs = 3)).run(pages, s"https://$domain", wh)
       result.visited
     },
+    "q_crawl_budget" -> { (s, d) =>
+      // the politeness window + deferral + depth-priority PQ INSIDE the
+      // epoch loop: per-host budget 6 binds at every sf (the smallest site
+      // puts ~9 fanout URLs on each of the 4 hosts), so epoch 2's frontier
+      // mixes deferred p=1 URLs against newly discovered p=2 ones and the
+      // DuckDB twin (OracleSiteSql.crawlBudgetVisited) must replay the
+      // two-phase window, the carry-over, and the min-merge exactly
+      val domain = "example.com"
+      val pages = bucketedSite(s, domain, crawlPages(d), hosts = 4,
+        outDegree = 8, numPartitions = 8)
+      val wh = Files.createTempDirectory("graft-q-budget-").toString
+      val result = new CrawlEngine(s, CrawlConfig(domain, budget = Some(6),
+        depthPriority = true, numPartitions = 8, maxEpochs = 3))
+        .run(pages, s"https://$domain", wh)
+      result.visited
+    },
     "q_robots_gate" -> { (s, d) =>
       // RFC 9309 longest-prefix gate over sfDir-derived URLs; the DuckDB twin
       // hand-compiles the longest-prefix decision for this rule set
@@ -668,6 +684,7 @@ object SparkEntry {
     "q_extract_links" -> OracleSiteSql.extractLinks,
     "q_crawl_epoch" -> OracleSiteSql.crawlVisited(2),
     "q_crawl_depth3" -> OracleSiteSql.crawlVisited(3),
+    "q_crawl_budget" -> OracleSiteSql.crawlBudgetVisited(budget = 6),
     "q_media_features" -> OracleSiteSql.mediaFeatures(dim = 16, outW = 64, outH = 64))
 
   /** lang-ID + composite quality replicated from scratch in DuckDB SQL

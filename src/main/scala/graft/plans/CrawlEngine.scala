@@ -127,6 +127,18 @@ final case class CrawlResult(
   def saveLinksSharded(path: String, shards: Int): Unit =
     links.repartitionByRange(shards, col("url")).sortWithinPartitions("url")
       .write.mode("overwrite").text(path)
+
+  /** Sharded trace sink — the same web-scale contract for the visit trace:
+    * range-partitioned on the §A.1 canonical order (epoch, url) and sorted
+    * within each shard, so concatenating part files in name order
+    * reproduces [[saveTrace]]'s bytes exactly. (10^10 visited URLs cannot
+    * funnel through the parity sink's single write task either.)
+    */
+  def saveTraceSharded(path: String, shards: Int): Unit =
+    trace.repartitionByRange(shards, col("epoch"), col("url"))
+      .sortWithinPartitions("epoch", "url")
+      .select("url")
+      .write.mode("overwrite").text(path)
 }
 
 object CrawlEngine {

@@ -189,6 +189,21 @@ class FrontierSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(got, golden))
   }
 
+  test("saveTraceSharded: part files concatenate to the parity trace bytes") {
+    val (result, _) = runScenario("basic")
+    val base = Files.createTempDirectory("graft-trace-sharded-").toString
+    result.saveTrace(s"$base/parity")
+    result.saveTraceSharded(s"$base/sharded", shards = 3)
+    def bytesOf(dir: String): Array[Byte] = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+      .sortBy(_.getName)
+      .flatMap(f => Files.readAllBytes(f.toPath))
+    val sharded = new java.io.File(s"$base/sharded").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+    assert(sharded > 1, "expected multiple shards")
+    assert(java.util.Arrays.equals(bytesOf(s"$base/sharded"), bytesOf(s"$base/parity")))
+  }
+
   test("per-partition fetch/extract metrics: exact counts incl. null-html " +
     "parse errors, malformed html, and dead links") {
     val d = "example.com"
