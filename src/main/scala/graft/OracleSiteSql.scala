@@ -179,13 +179,32 @@ object OracleSiteSql {
     * DuckDB VARCHAR ordering is binary like Spark's UTF8_BINARY, so the
     * (priority, url) ranks agree byte-for-byte.
     */
-  def crawlBudgetVisited(budget: Int): String = {
+  def crawlBudgetVisited(budget: Int): String =
+    budgetedCrawlSql(budget, disallowDigit = None)
+
+  /** Twin of a budgeted depth-priority crawl that ALSO honours a per-host
+    * robots.txt "Disallow: /p/<digit>" + "Crawl-delay" pair: page indexes
+    * whose decimal string starts with `disallowDigit` are suppressed —
+    * both their plain URLs and their ?ref= query variants, because
+    * [[graft.robots.Robots.allowed]] matches on the PATH alone — and the
+    * politeness cap is min(configured budget, crawl-delay budget), so pass
+    * the EFFECTIVE per-host budget here.
+    */
+  def crawlRobotsVisited(effectiveBudget: Int, disallowDigit: String): String =
+    budgetedCrawlSql(effectiveBudget, Some(disallowDigit))
+
+  private def budgetedCrawlSql(budget: Int, disallowDigit: Option[String]): String = {
     val (baseCtes, pbm) = pageBaseCtes(42L, "SELECT i FROM s1")
     val (drawDefs, drawLast) = mix64Ctes("dk", Seq("i", "k"))
+    def denied(idx: String): String = disallowDigit match {
+      case Some(d) => s"CAST(($idx) AS VARCHAR) LIKE '$d%'"
+      case None => "FALSE"
+    }
     s"""WITH $scaleCtes,
        |fanout AS (
        |  SELECT j AS i, ${pageUrlExpr("j")} AS url, ${hostExpr("j")} AS host
        |  FROM (SELECT unnest(generate_series(0, (SELECT m - 1 FROM mm))) AS j)
+       |  WHERE NOT (${denied("j")})
        |), ranked1 AS (
        |  SELECT i, url, host,
        |    row_number() OVER (PARTITION BY host ORDER BY url) AS r
@@ -205,22 +224,26 @@ object OracleSiteSql {
        |    (z // 256) % 10 AS form
        |  FROM $drawLast
        |), cand2 AS (
-       |  -- links of the FETCHED epoch-1 pages, minus visited (seed ∪ s1);
-       |  -- deferred targets are NOT visited — they merge below at min priority
+       |  -- links of the FETCHED epoch-1 pages, minus visited (seed ∪ s1) and
+       |  -- minus robots-suppressed targets (path-only match: the ?ref query
+       |  -- variant of a disallowed index is suppressed too); deferred targets
+       |  -- are NOT visited — they merge below at min priority
        |  SELECT DISTINCT url, host FROM (
        |    SELECT CASE WHEN form = 2 THEN ${pageUrlExpr("target")} || '?ref=' || i
        |                ELSE ${pageUrlExpr("target")} END AS url,
        |      ${hostExpr("target")} AS host,
        |      CASE WHEN form = 2 THEN FALSE
-       |           ELSE EXISTS (SELECT 1 FROM s1 WHERE s1.i = slot.target) END AS seen
+       |           ELSE EXISTS (SELECT 1 FROM s1 WHERE s1.i = slot.target) END AS seen,
+       |      ${denied("target")} AS denied
        |    FROM slot
        |    UNION ALL
        |    SELECT ${pageUrlExpr("(2 * i + 1) % (SELECT n FROM nn)")} AS url,
        |      ${hostExpr("(2 * i + 1) % (SELECT n FROM nn)")} AS host,
        |      EXISTS (SELECT 1 FROM s1
-       |        WHERE s1.i = (2 * pages_.i + 1) % (SELECT n FROM nn)) AS seen
+       |        WHERE s1.i = (2 * pages_.i + 1) % (SELECT n FROM nn)) AS seen,
+       |      ${denied("(2 * pages_.i + 1) % (SELECT n FROM nn)")} AS denied
        |    FROM pages_
-       |  ) WHERE NOT seen
+       |  ) WHERE NOT seen AND NOT denied
        |), frontier2 AS (
        |  SELECT url, host, min(priority) AS priority FROM (
        |    SELECT url, host, 1 AS priority FROM defer1

@@ -94,20 +94,30 @@ object SparkEntry {
     * (pages_files_read < pages_files_total stamped into each snapshot).
     */
   private def bucketedSite(s: SparkSession, domain: String, nPages: Long,
-      hosts: Int, outDegree: Int, numPartitions: Int): graft.snapshot.BucketedPages = {
+      hosts: Int, outDegree: Int, numPartitions: Int,
+      robotsBody: Option[String] = None,
+      robotsTag: String = ""): graft.snapshot.BucketedPages = {
     import graft.snapshot.BucketedPages
     val buckets = math.max(8L, nPages / 2000L).toInt
     // cache key carries the seed: an earlier positional-arg slip passed
     // numPartitions into SiteGen.pages' seed slot, so bkt1-keyed dirs hold a
     // seed-8 corpus — bkt2 + explicit s42 keeps them from ever being served
     val dir = s"${System.getProperty("java.io.tmpdir")}/" +
-      s"graft-site-bkt2-$domain-$nPages-$hosts-$outDegree-$buckets-s42"
+      s"graft-site-bkt2-$domain-$nPages-$hosts-$outDegree-$buckets-s42$robotsTag"
     if (BucketedPages.manifestExists(s, dir)) BucketedPages.load(s, dir)
     else BucketedPages.adopt(s,
       SiteGen.pages(s, domain, nPages, hosts = hosts, outDegree = outDegree,
-        seed = 42L, numPartitions = numPartitions),
+        seed = 42L, numPartitions = numPartitions, robotsBody = robotsBody),
       dir, buckets)
   }
+
+  /** The q_crawl_robots site: every host carries the same robots.txt —
+    * "Disallow: /p/1" suppresses every page index whose decimal string
+    * starts with 1, and "Crawl-delay: 11" caps each host at
+    * max(1, int(60 // 11)) = 5 fetches/epoch, tighter than the configured
+    * budget of 7 (the min(configured, delay) path).
+    */
+  private val RobotsBody = "User-agent: *\nDisallow: /p/1\nCrawl-delay: 11\n"
 
   /** Bench-harness hook: materialize the per-sf adoption caches (bucketed
     * synth site for the crawl queries; the media corpus is warmed separately)
@@ -117,6 +127,9 @@ object SparkEntry {
   def warmCaches(spark: SparkSession, sfDir: String): Unit = {
     bucketedSite(spark, "example.com", crawlPages(sfDir), hosts = 4,
       outDegree = 8, numPartitions = 8)
+    bucketedSite(spark, "example.com", crawlPages(sfDir), hosts = 4,
+      outDegree = 8, numPartitions = 8, robotsBody = Some(RobotsBody),
+      robotsTag = "-rb1")
     ()
   }
 
@@ -443,6 +456,23 @@ object SparkEntry {
         .run(pages, s"https://$domain", wh)
       result.visited
     },
+    "q_crawl_robots" -> { (s, d) =>
+      // robots.txt honored INSIDE the epoch loop: per-host Disallow
+      // suppression (path-only matching — ?ref query variants of a
+      // disallowed index are suppressed too) and a crawl-delay-derived
+      // politeness cap tighter than the configured budget. The DuckDB twin
+      // (OracleSiteSql.crawlRobotsVisited) replays suppression, the
+      // min(budget, delay-budget) cap, deferral, and depth priority
+      val domain = "example.com"
+      val pages = bucketedSite(s, domain, crawlPages(d), hosts = 4,
+        outDegree = 8, numPartitions = 8, robotsBody = Some(RobotsBody),
+        robotsTag = "-rb1")
+      val wh = Files.createTempDirectory("graft-q-robots-").toString
+      val result = new CrawlEngine(s, CrawlConfig(domain, budget = Some(7),
+        depthPriority = true, numPartitions = 8, maxEpochs = 3))
+        .run(pages, s"https://$domain", wh)
+      result.visited
+    },
     "q_robots_gate" -> { (s, d) =>
       // RFC 9309 longest-prefix gate over sfDir-derived URLs; the DuckDB twin
       // hand-compiles the longest-prefix decision for this rule set
@@ -685,6 +715,9 @@ object SparkEntry {
     "q_crawl_epoch" -> OracleSiteSql.crawlVisited(2),
     "q_crawl_depth3" -> OracleSiteSql.crawlVisited(3),
     "q_crawl_budget" -> OracleSiteSql.crawlBudgetVisited(budget = 6),
+    // effective budget = min(configured 7, crawl-delay 60//11 = 5) = 5
+    "q_crawl_robots" -> OracleSiteSql.crawlRobotsVisited(effectiveBudget = 5,
+      disallowDigit = "1"),
     "q_media_features" -> OracleSiteSql.mediaFeatures(dim = 16, outW = 64, outH = 64))
 
   /** lang-ID + composite quality replicated from scratch in DuckDB SQL
