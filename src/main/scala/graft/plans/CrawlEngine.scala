@@ -589,16 +589,22 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
               coalesce(robots_allowed(col("url"), col("prefixes"), col("allows")), lit(true)))
             .persist(StorageLevel.MEMORY_AND_DISK)
         else inDom.withColumn("allowed", lit(true))
-      val sState =
-        if (hasRobots) {
+      // the suppressed write overlaps the candidates chain below (the same
+      // action-thread pattern as visited/links: both consumers share the
+      // persisted `gated` cache, and the frontier chain — the only reader of
+      // this epoch's suppressed delta — awaits the future before it scans
+      // sState.files). Synchronous, this cost ~0.7 s/epoch on robots crawls.
+      val sStateF =
+        if (hasRobots) Future {
           val newSuppressed = gated.filter(!col("allowed"))
             .select("url")
             .join(suppressedSoFar.select("url"), Seq("url"), "left_anti")
             .distinct()
           store.writeDelta("suppressed", epoch, newSuppressed,
             Some(snapshot.tables("suppressed")))
-        } else snapshot.tables("suppressed").copy(deltaRows = 0L)
-      lap("suppressed_write")
+        } else scala.concurrent.Future.successful(
+          snapshot.tables("suppressed").copy(deltaRows = 0L))
+      lap("suppressed_write_launch")
 
       // 6. next frontier = (allowed ∪ deferred) − visited(≤e) − suppressed(≤e).
       // O-9 priority: discovery depth when depthPriority (deferred older URLs
@@ -692,6 +698,8 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       // shuffles); writing it directly keeps that distribution in the files
       // and lets AQE coalesce small epochs to few files. The fixpoint epoch
       // (0 candidates) writes the empty delta without the join machinery.
+      val sState = Await.result(sStateF, scala.concurrent.duration.Duration.Inf)
+      lap("suppressed_wait")
       val next =
         if (candidatesIn == 0) candidates
         else {
