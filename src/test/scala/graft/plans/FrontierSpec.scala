@@ -311,6 +311,30 @@ class FrontierSpec extends AnyFunSuite {
       full.links.select("url").orderBy("url").as[String].collect().toSeq)
   }
 
+  test("resume under robots + crawl-delay + depth priority: suppressed and " +
+    "deferral state survive the interrupt") {
+    import graft.synth.SiteGen
+    val domain = "example.com"
+    val pages = SiteGen.pages(spark, domain, nPages = 120, hosts = 4,
+      outDegree = 8, numPartitions = 4,
+      robotsBody = Some("User-agent: *\nDisallow: /p/1\nCrawl-delay: 11\n"))
+      .persist()
+    def cfg(maxE: Int) = CrawlConfig(domain, budget = Some(7),
+      depthPriority = true, numPartitions = 4, maxEpochs = maxE)
+    val whFull = Files.createTempDirectory("graft-rfull-").toString
+    val whPart = Files.createTempDirectory("graft-rpart-").toString
+    val full = new CrawlEngine(spark, cfg(6)).run(pages, s"https://$domain", whFull)
+    // interrupt mid-crawl (deferred URLs and suppressed rows outstanding),
+    // then resume with a fresh engine over the same warehouse
+    new CrawlEngine(spark, cfg(2)).run(pages, s"https://$domain", whPart)
+    val resumed = new CrawlEngine(spark, cfg(6)).run(pages, s"https://$domain", whPart)
+    assert(resumed.trace.select("epoch", "url").as[(Int, String)].collect().toSeq ==
+      full.trace.select("epoch", "url").as[(Int, String)].collect().toSeq)
+    assert(resumed.links.select("url").orderBy("url").as[String].collect().toSeq ==
+      full.links.select("url").orderBy("url").as[String].collect().toSeq)
+    pages.unpersist()
+  }
+
   test("crash: torn manifest and uncommitted data dirs are invisible on resume") {
     val (domain, budget, _, _) = config("basic")
     val pages = loadPages("basic")
