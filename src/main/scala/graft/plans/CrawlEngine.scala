@@ -20,6 +20,15 @@ import graft.url.urlfns._
   * @param numPartitions   explicit hash-partition count for frontier state
   * @param saltBuckets     pre-aggregation salt for the per-host budget window
   *                        (hot-host skew mitigation, SURVEY.md §4.3)
+  * @param saltMinRows     below this frontier size the budget window runs
+  *                        single-phase (one row_number per host): a frontier
+  *                        this small cannot produce a window shuffle whose
+  *                        skew matters, and the salted path costs a second
+  *                        window shuffle + cache per epoch. Scale-adaptive —
+  *                        driven by the measured frontier count, not a core
+  *                        count. The fetch/defer SETS are identical either
+  *                        way (the salted phase-1 top-K is provably a
+  *                        superset of the exact per-host top-K).
   * @param bloomFpp        seen-sketch false-positive rate
   * @param bloomMinSeen    below this seen-set size, skip the sketch entirely
   *                        (the anti-join alone is cheaper). The sketch is
@@ -51,12 +60,22 @@ import graft.url.urlfns._
   *                        bucket-local, no per-epoch re-shuffle of the
   *                        cumulative O(total-crawled) seen set, probe cost
   *                        tracks the CANDIDATES (BASELINE.md's "dedup is
-  *                        bucket-local" accounting). "anti": the plain
-  *                        `left_anti` join against the visited table (the
+  *                        bucket-local" accounting). The SUPPRESSED set rides
+  *                        a second store under the same contract (url-keyed
+  *                        epoch deltas, aligned probes), so robots crawls
+  *                        stop paying two O(cumulative-suppressed) anti-join
+  *                        shuffles per epoch. "anti": the plain `left_anti`
+  *                        joins against the visited/suppressed tables (the
   *                        differential-test reference path).
-  * @param seenStoreBuckets url-hash buckets for the seen shard store; 0 ⇒
-  *                        numPartitions. Size so one shard (total-seen ×
-  *                        ~60 B / buckets) fits task memory (2^14 at 10^10).
+  * @param seenStoreBuckets url-hash buckets for the seen/suppressed shard
+  *                        stores; 0 ⇒ the session's shuffle-partition count
+  *                        (`spark.sql.shuffle.partitions`) — candidates leave
+  *                        their groupBy/distinct exchange partitioned
+  *                        `pmod(hash(url), numShufflePartitions)`, which is
+  *                        the store's own bucket function, so matching counts
+  *                        make every store probe ZERO-exchange. Size so one
+  *                        shard (total-seen × ~60 B / buckets) fits task
+  *                        memory for the bulk-probe path (2^14 at 10^10).
   * @param seenCompactEvery every this many epochs, fold each bucket's seen
   *                        delta shards into one base file (DRUM-style merge;
   *                        probe cost stops growing with epoch count;
@@ -78,6 +97,7 @@ final case class CrawlConfig(
     budget: Option[Int] = None,
     numPartitions: Int = 32,
     saltBuckets: Int = 16,
+    saltMinRows: Long = 100000L,
     bloomFpp: Double = 0.01,
     bloomMinSeen: Long = 100000L,
     bloomExpectedTotal: Long = 10000000L,
@@ -229,7 +249,7 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
     */
   private def politenessSplit(frontier: DataFrame,
       delayBudgets: Option[DataFrame],
-      robotsCount: Long): (DataFrame, DataFrame, Seq[DataFrame]) = {
+      robotsCount: Long, frontierCount: Long): (DataFrame, DataFrame, Seq[DataFrame]) = {
     if (config.budget.isEmpty && delayBudgets.isEmpty)
       return (frontier, frontier.limit(0), Nil)
     // priority-queue order (O-9): (priority asc, url asc). Trace-match
@@ -247,6 +267,19 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         joined.withColumn("__b", config.budget
           .map(cb => least(delayCap, lit(cb.toLong))).getOrElse(delayCap))
           .drop("delay_budget")
+    }
+    if (frontierCount <= config.saltMinRows) {
+      // single-phase: one exact per-host ranking. A frontier this small
+      // cannot skew a window shuffle; the salted second phase would cost an
+      // extra window shuffle + cache per epoch for nothing. The fetch/defer
+      // sets are IDENTICAL to the salted path's (exact per-host top-K by
+      // (priority, url) either way).
+      val r = withB.withColumn("r",
+        row_number().over(Window.partitionBy("host").orderBy("priority", "url")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val fetchNow = r.filter(col("r") <= col("__b")).select("url", "host", "priority")
+      val defer = r.filter(col("r") > col("__b")).select("url", "host", "priority")
+      return (fetchNow, defer, Seq(r))
     }
     val salted = withB.withColumn(
       "salt", pmod(xxhash64(col("url")), lit(config.saltBuckets)))
@@ -317,10 +350,24 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
     require(config.seenDedup == "bucketlocal" || config.seenDedup == "anti",
       s"unknown seenDedup '${config.seenDedup}' (bucketlocal|anti)")
     val useSeenStore = config.seenDedup == "bucketlocal"
+    // bucket count matches the session's shuffle partitioning by default:
+    // candidates leave their distinct/groupBy exchange partitioned by
+    // pmod(hash(url), numShufflePartitions) — the store's own bucket
+    // function — so equal counts make every store probe zero-exchange
+    val storeBuckets =
+      if (config.seenStoreBuckets > 0) config.seenStoreBuckets
+      else spark.sessionState.conf.numShufflePartitions
     val seenStore =
       if (useSeenStore)
-        new graft.sketch.SeenUrlStore(s"$warehouse/seenstore",
-          if (config.seenStoreBuckets > 0) config.seenStoreBuckets else P)
+        new graft.sketch.SeenUrlStore(s"$warehouse/seenstore", storeBuckets)
+      else null
+    // the suppressed set rides a second store under the same contract: its
+    // two per-epoch consumers (newSuppressed − suppressedSoFar and the
+    // frontier subtraction) were the last O(cumulative-state) anti-join
+    // shuffles left in the epoch loop
+    val suppressedStore =
+      if (useSeenStore)
+        new graft.sketch.SeenUrlStore(s"$warehouse/suppressedstore", storeBuckets)
       else null
     // url-only robots existence probe: parsing robots needs the html column,
     // and a predicate on url cannot row-group-prune an endsWith match — so a
@@ -328,13 +375,17 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
     // learn that. Probe the url column alone first (a few % of the bytes;
     // superset filter of robotsTable's exact path=="/robots.txt" check) and
     // parse only when candidates exist.
-    // a bucket-manifest source additionally narrows the probe to the buckets
-    // its manifest flags as robots-bearing — O(robots files), not O(corpus)
+    // a bucket-manifest source narrows further: its robots-bucket stat was
+    // computed at adoption with the SAME superset filter, so the probe job is
+    // skipped entirely — the manifest already knows the answer
     val robotsSource = bucketed.map(_.robotsCandidates).getOrElse(pages)
-    val robotsUrlCount = robotsSource
-      .filter(col("url").endsWith("/robots.txt")).select("url").count()
+    val robotsMayExist: Boolean = bucketed.flatMap(_.robotsBucketCount) match {
+      case Some(c) => c > 0 // manifest stat — no probe job at all
+      case None => robotsSource
+        .filter(col("url").endsWith("/robots.txt")).select("url").count() > 0
+    }
     val robots: DataFrame =
-      if (robotsUrlCount == 0) null
+      if (!robotsMayExist) null
       else robotsTable(robotsSource).persist(StorageLevel.MEMORY_AND_DISK)
     // no robots rows (the common case) ⇒ the gate is a constant-true filter
     // and the whole suppression machinery is skipped (2 jobs/epoch saved)
@@ -388,26 +439,61 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         snapshot = s
         epoch = s.epoch + 1
         frontier = store.readTable(s, "frontier")
-        // resuming a warehouse whose visited predates the shard store (or
-        // whose store was deleted): rebuild the exact index from the
-        // authoritative parquet once, tagged with the resume epoch so every
-        // later probe (upToEpoch ≥ s.epoch) sees all of it
-        if (useSeenStore && s.tables("visited").totalRows > 0 &&
-          !seenStore.hasAnyData(spark.sparkContext.hadoopConfiguration))
-          seenStore.writeDelta(store.readTable(s, "visited").select("url"), s.epoch)
+        if (useSeenStore) {
+          val hconf = spark.sparkContext.hadoopConfiguration
+          // resume gate: the store is only trusted when its metadata proves
+          // it — bucket count matches AND its covered-epoch watermark reaches
+          // the resumed snapshot (mere shard-file existence cannot
+          // distinguish a valid index from one left by a different bucket
+          // count or by epochs that ran with seenDedup=anti). Anything else
+          // is cleared and rebuilt from the authoritative parquet, tagged
+          // with the resume epoch so every later probe (upToEpoch ≥ s.epoch)
+          // sees all of it.
+          def syncStore(st: graft.sketch.SeenUrlStore, table: String): Unit = {
+            if (s.tables(table).totalRows > 0 && !st.validFor(hconf, s.epoch)) {
+              st.clear(hconf)
+              st.writeDelta(store.readTable(s, table).select("url"), s.epoch)
+            }
+            // bases compacted by a LATER, now-truncated timeline would hide
+            // the re-run's own deltas once it reaches the base's epoch —
+            // bases are derived state, drop the stale ones
+            st.dropBasesAbove(hconf, s.epoch)
+          }
+          syncStore(seenStore, "visited")
+          syncStore(suppressedStore, "suppressed")
+        }
       case None =>
         val seedDf = allowedSeeds
           .map(u => (u, graft.robots.Robots.hostKey(u), 0L))
           .toDF("url", "host", "priority")
         val suppressedSeed = blockedSeeds.toDF("url")
-        // epoch "-1" bootstrap snapshot: seed frontier, empty state
-        val fState = store.writeDelta("frontier", 0, seedDf, None, fullRewrite = true)
-        val vState = store.writeDelta("visited", -1, Seq.empty[(Int, String)].toDF("epoch", "url"), None)
-        val lState = store.writeDelta("links", -1, Seq.empty[String].toDF("url"), None)
-        val sState = store.writeDelta("suppressed", -1, suppressedSeed, None)
+        // epoch "-1" bootstrap snapshot: seed frontier, empty state. The
+        // four tiny writes are independent — run them concurrently so the
+        // bootstrap pays one job latency, not four (guide §2.6)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fStateF = Future(
+          store.writeDelta("frontier", 0, seedDf, None, fullRewrite = true))
+        val vStateF = Future(store.writeDelta("visited", -1,
+          Seq.empty[(Int, String)].toDF("epoch", "url"), None))
+        val lStateF = Future(
+          store.writeDelta("links", -1, Seq.empty[String].toDF("url"), None))
+        val sStateF = Future {
+          val st = store.writeDelta("suppressed", -1, suppressedSeed, None)
+          if (useSeenStore) {
+            if (blockedSeeds.nonEmpty)
+              suppressedStore.writeDelta(suppressedSeed, -1)
+            else suppressedStore.markEpoch(
+              spark.sparkContext.hadoopConfiguration, -1)
+          }
+          st
+        }
         snapshot = store.commit(-1, Map(
-          "frontier" -> fState, "visited" -> vState,
-          "links" -> lState, "suppressed" -> sState), Map("seed" -> 1L))
+          "frontier" -> Await.result(fStateF, Duration.Inf),
+          "visited" -> Await.result(vStateF, Duration.Inf),
+          "links" -> Await.result(lStateF, Duration.Inf),
+          "suppressed" -> Await.result(sStateF, Duration.Inf)), Map("seed" -> 1L))
         frontier = store.readTable(snapshot, "frontier")
         epoch = 0
     }
@@ -441,13 +527,20 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       BloomSketch.sizing(config.bloomExpectedTotal, config.bloomFpp)
     val fileProbe = !useCuckoo && config.bloomFileProbe
       .getOrElse(sketchBits / 8 > config.bloomBroadcastMaxBytes)
+    val nShuffle = spark.sessionState.conf.numShufflePartitions
     val shardStore =
       if (fileProbe) {
-        // keep shards ~16 MiB regardless of scale (10^10 urls ⇒ ~2^10
+        // keep shards ≤ ~16 MiB regardless of scale (10^10 urls ⇒ ~2^10
         // buckets of ~12 MB — BASELINE.md's accounting): a probe task loads
-        // one shard, so shard size bounds per-task memory, not total size
-        val shards = math.max(config.bloomShards,
+        // one shard, so shard size bounds per-task memory, not total size.
+        // When that cap allows it, use the session's shuffle-partition count
+        // instead: the sketch's bucket function is Spark's HashPartitioning
+        // id (same as the seen store's), so matching counts give the sketch
+        // probe — and the exact probe behind it — ZERO exchanges on the
+        // already-hash-partitioned candidate frame.
+        val desired = math.max(config.bloomShards,
           ((sketchBits / 8) / (16L << 20) + 1).toInt)
+        val shards = if (desired <= nShuffle) nShuffle else desired
         new graft.sketch.BloomShardStore(s"$warehouse/sketch", shards,
           ((sketchBits / shards + 63) >> 6) << 6, sketchHashes)
       } else null
@@ -479,6 +572,19 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       }
     }
 
+    // plan-evidence hook (optimization rounds): when `graft.explain.dir` is
+    // set (PlanDump), dump the formatted physical plan of the per-epoch
+    // internal frames — zero cost when unset
+    val explainDir = Option(System.getProperty("graft.explain.dir"))
+    def dumpPlan(name: String, df: DataFrame): Unit = explainDir.foreach { d =>
+      val tag = Option(System.getProperty("graft.explain.tag")).getOrElse("crawl")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(d, s"${tag}_$name.txt"),
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      catch { case _: Exception => () }
+    }
+
     while (frontierCount > 0 && epoch < config.maxEpochs) {
       val t0 = System.nanoTime()
       var tLast = t0
@@ -496,24 +602,27 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       // write time; no re-shuffle here — the budget window (when enabled)
       // shuffles by (host, salt) itself.
       val (fetchNowRaw, defer, gateCaches) =
-        politenessSplit(frontier, delayBudgets, robotsCount)
+        politenessSplit(frontier, delayBudgets, robotsCount, frontierCount)
 
       // 2. visited delta = fetched this epoch. fetchNowRaw reads straight
       // from the frontier manifest files (1-hop lineage), so the write runs
-      // CONCURRENTLY with extraction on a separate action thread.
+      // CONCURRENTLY with extraction on a separate action thread. The exact
+      // seen index gets the SAME delta (O(epoch) rows — the only state that
+      // is new) on ITS OWN action thread, concurrent with the visited
+      // parquet write (both scan the same gate cache); the sorted shard
+      // files must exist before this epoch's dedup probe, which awaits
+      // seenStoreF — not the parquet write it no longer depends on.
       val fetchNow = fetchNowRaw
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       val vStateF = Future {
-        val vs = store.writeDelta("visited", epoch,
+        store.writeDelta("visited", epoch,
           fetchNow.select(lit(epoch).as("epoch"), col("url")),
           Some(snapshot.tables("visited")))
-        // the exact seen index gets the SAME delta (O(epoch) rows — the only
-        // state that is new); sorted shard files must exist before this
-        // epoch's dedup probe, which awaits this future
-        if (useSeenStore) seenStore.writeDelta(fetchNow.select("url"), epoch)
-        vs
       }
+      val seenStoreF: Future[Unit] =
+        if (useSeenStore) Future(seenStore.writeDelta(fetchNow.select("url"), epoch))
+        else Future.successful(())
       lap("visited_write_launch")
 
       // 3. fetch join + extract + clean (crawler.py:30-42). INNER join is
@@ -592,16 +701,46 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       // the suppressed write overlaps the candidates chain below (the same
       // action-thread pattern as visited/links: both consumers share the
       // persisted `gated` cache, and the frontier chain — the only reader of
-      // this epoch's suppressed delta — awaits the future before it scans
-      // sState.files). Synchronous, this cost ~0.7 s/epoch on robots crawls.
+      // this epoch's suppressed delta — awaits the future before it
+      // subtracts). Synchronous, this cost ~0.7 s/epoch on robots crawls.
+      // Bucket-local path: `disallowed − suppressedSoFar` is a shard probe
+      // against the suppressed store (upToEpoch = e−1), not a left_anti over
+      // the CUMULATIVE suppressed set — the probe cost tracks this epoch's
+      // disallowed rows, not the crawl's age. `gated` preserves the
+      // cleanLinks-distinct url hash partitioning when robots was broadcast,
+      // so the probe skips its exchange too. No distinct is needed on the
+      // store path: cleanLinks is distinct and the gates only filter, so
+      // urls are unique by construction (the anti path keeps the reference
+      // left_anti + distinct shape for the differential).
+      val gatedAligned = robotsCount <= config.robotsBroadcastMax
       val sStateF =
         if (hasRobots) Future {
-          val newSuppressed = gated.filter(!col("allowed"))
-            .select("url")
-            .join(suppressedSoFar.select("url"), Seq("url"), "left_anti")
-            .distinct()
-          store.writeDelta("suppressed", epoch, newSuppressed,
+          val disallowed = gated.filter(!col("allowed")).select("url")
+          val newSuppressed =
+            if (useSeenStore)
+              suppressedStore.filterUnseen(disallowed, "url", epoch - 1,
+                assumeDistributed =
+                  gatedAligned && suppressedStore.numBuckets == nShuffle)
+            else disallowed
+              .join(suppressedSoFar.select("url"), Seq("url"), "left_anti")
+              .distinct()
+          val ss = store.writeDelta("suppressed", epoch, newSuppressed,
             Some(snapshot.tables("suppressed")))
+          if (useSeenStore) {
+            if (ss.deltaRows > 0) {
+              // index delta from the just-written parquet files (1-hop
+              // lineage — no re-probe of the store to recompute the frame)
+              val parentPaths = snapshot.tables("suppressed").files.toSet
+              val deltaFiles = ss.files.filterNot(parentPaths)
+              suppressedStore.writeDelta(
+                spark.read.schema(org.apache.spark.sql.types.DataType
+                  .fromJson(ss.schemaJson)
+                  .asInstanceOf[org.apache.spark.sql.types.StructType])
+                  .parquet(deltaFiles: _*).select("url"), epoch)
+            } else suppressedStore.markEpoch(
+              spark.sparkContext.hadoopConfiguration, epoch)
+          }
+          ss
         } else scala.concurrent.Future.successful(
           snapshot.tables("suppressed").copy(deltaRows = 0L))
       lap("suppressed_write_launch")
@@ -622,11 +761,15 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       // the rows that do cross carry (url, priority) only
       val base = gated.filter(col("allowed"))
         .select(col("url"), lit(newPriority).as("priority"))
-      val unioned =
-        if (gateCaches.isEmpty) base else base.union(defer.select("url", "priority"))
-      val candidates = unioned
-        .groupBy(col("url"))
-        .agg(min(col("priority")).as("priority"))
+      // no deferred union ⇒ base's urls are ALREADY distinct (cleanLinks is
+      // distinct, the gates only filter) and priority is a constant, so the
+      // groupBy-min is an identity — skip its aggregate pair outright; the
+      // distinct's exchange still provides the url hash partitioning the
+      // dedup-probe alignment relies on
+      val candidates = (if (gateCaches.isEmpty) base
+        else base.union(defer.select("url", "priority"))
+          .groupBy(col("url"))
+          .agg(min(col("priority")).as("priority")))
         .select(col("url"), host_key(col("url")).as("host"), col("priority"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // BASELINE.json metric numerator (URLs scheduled + entering dedup).
@@ -668,7 +811,15 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         else null
       val probe: Option[DataFrame => DataFrame] =
         if (!sketchActive) None
-        else if (fileProbe) Some(df => shardStore.probe(df, "url"))
+        else if (fileProbe)
+          // aligned (shard count == the candidate exchange's partition
+          // count, same HashPartitioning bucket function): the sketch probe
+          // consumes the candidates' own exchange and PRESERVES it for the
+          // exact probe behind it — the 10^10 configuration keeps the
+          // zero-exchange chain. Misaligned counts pay one routing exchange;
+          // correctness never depends on it.
+          Some(df => shardStore.probe(df, "url",
+            assumeDistributed = shardStore.numBuckets == nShuffle))
         else if (useCuckoo)
           Some(df => df.withColumn("maybe_seen", cuckoo_might_contain(cuckooBcast, col("url"))))
         else Some(df => df.withColumn("maybe_seen", bloom_might_contain(bloomBcast, col("url"))))
@@ -678,18 +829,17 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       // visited∪fetchNow anti-join), or the plain left_anti reference path
       val exactSeen: DataFrame => DataFrame =
         if (useSeenStore) { df =>
-          // the shard files for this epoch are written by vStateF — they
+          // the shard files for this epoch are written by seenStoreF — they
           // must be on disk before the probe job launches
-          Await.result(vStateF, scala.concurrent.duration.Duration.Inf)
-          // candidates flow out of the groupBy(url) exchange (and the
-          // broadcast sketch probe is narrow), so when the store's bucket
-          // count matches that exchange's partitioning the probe needs NO
-          // exchange of its own. The sharded bloom file-probe re-routes by
-          // ITS bucket key, which breaks the alignment — keep the exchange
-          // there. Alignment is a perf hint only; the probe is correct
-          // under any distribution.
-          val aligned = !fileProbe &&
-            seenStore.numBuckets == spark.sessionState.conf.numShufflePartitions
+          Await.result(seenStoreF, scala.concurrent.duration.Duration.Inf)
+          // candidates flow out of the groupBy/distinct url exchange, the
+          // broadcast sketch probe is narrow, and the file-probe preserves
+          // the partitioning when ITS shard count matches — so when the
+          // store's bucket count matches the exchange's partitioning the
+          // probe needs NO exchange of its own. Alignment is a perf hint
+          // only; the probe is correct under any distribution.
+          val aligned = seenStore.numBuckets == nShuffle &&
+            (!fileProbe || shardStore.numBuckets == nShuffle)
           seenStore.filterUnseen(df, "url", epoch, assumeDistributed = aligned)
         } else { df =>
           df.join(visitedAll.select("url"), Seq("url"), "left_anti")
@@ -704,15 +854,31 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         if (candidatesIn == 0) candidates
         else {
           val deduped = dedupAgainst(candidates, exactSeen, probe)
-          if (sState.totalRows > 0)
-            deduped.join(spark.read.parquet(sState.files: _*).select("url"),
+          if (sState.totalRows > 0) {
+            if (useSeenStore)
+              // bucket-local subtraction of suppressed(≤ e) — the store's
+              // delta for THIS epoch is on disk (sStateF awaited above). The
+              // frame reaching here is always bucket-pure per partition
+              // (either it kept the candidates' url hash partitioning, or a
+              // store/sketch probe routed it by the same bucket function),
+              // so the probe never needs its own exchange — this replaces
+              // the left_anti that re-shuffled the CUMULATIVE suppressed set
+              // every robots epoch.
+              suppressedStore.filterUnseen(deduped, "url", epoch,
+                assumeDistributed = true)
+            else deduped.join(spark.read.parquet(sState.files: _*).select("url"),
               Seq("url"), "left_anti")
-          else deduped
+          } else deduped
         }
+      dumpPlan(s"e${epoch}_candidates", candidates)
+      if (candidatesIn > 0) dumpPlan(s"e${epoch}_frontier", next)
       val fState = store.writeDelta("frontier", epoch + 1, next,
         Some(snapshot.tables("frontier")), fullRewrite = true)
       lap("frontier_write")
       val vState = Await.result(vStateF, scala.concurrent.duration.Duration.Inf)
+      // the seen-index delta must be durable before this epoch commits (the
+      // fixpoint epoch never probes, so the dedup chain may not have awaited)
+      Await.result(seenStoreF, scala.concurrent.duration.Duration.Inf)
       lap("visited_wait")
       val lStateRaw = Await.result(lStateF, scala.concurrent.duration.Duration.Inf)
       lap("links_wait")
@@ -732,6 +898,9 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
         epoch > 0 && epoch % config.seenCompactEvery == 0
       if (seenCompacted) {
         seenStore.compact(spark, epoch)
+        // the suppressed index follows the same DRUM schedule (it is the
+        // same store mechanism over the other cumulative url set)
+        if (sState.totalRows > 0) suppressedStore.compact(spark, epoch)
         lap("seen_compact")
       }
       // the per-epoch sketch broadcast is consumed only by the frontier

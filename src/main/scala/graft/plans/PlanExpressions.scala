@@ -93,22 +93,6 @@ case class CrawlDelayBudget(child: Expression, windowSec: Double)
     copy(child = c)
 }
 
-/** Seen-sketch shard router: UrlShard(url, numBuckets) — the plan-side twin
-  * of [[graft.sketch.BloomShardStore.bucketOf]], used to co-partition
-  * candidates with their bucket's shard file.
-  */
-case class UrlShard(child: Expression, numBuckets: Int) extends UnaryExpression {
-  override def dataType: DataType = IntegerType
-  override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(input: Any): Any =
-    graft.sketch.BloomShardStore.bucketOf(
-      input.asInstanceOf[UTF8String].getBytes, numBuckets)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.sketch.BloomShardStore.bucketOf($c.getBytes(), $numBuckets)")
-  override protected def withNewChildInternal(c: Expression): UrlShard = copy(child = c)
-}
-
 /** Bloom-sketch membership probe against a broadcast seen-set sketch —
   * the O-7b fast path. `false` ⇒ definitely unseen (no false negatives).
   */
@@ -158,8 +142,6 @@ object planfns {
     column(BloomMightContain(b, expression(c)))
   def cuckoo_might_contain(b: Broadcast[graft.sketch.SeenSketch], c: Column): Column =
     column(CuckooMightContain(b, expression(c)))
-  def url_shard(c: Column, numBuckets: Int): Column =
-    column(UrlShard(expression(c), numBuckets))
   def crawl_delay_budget(c: Column, windowSec: Double): Column =
     column(CrawlDelayBudget(expression(c), windowSec))
 }

@@ -8,21 +8,32 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.BooleanType
 
+import graft.util.SerializableHadoopConf
+
 /** Url-hash-bucket-sharded seen-set Bloom sketch persisted as one file per
   * bucket — the 10^10-scale replacement for broadcasting one monolithic
   * sketch (BASELINE.md's accounting: ~12 GB at 10^10 URLs, infeasible to
   * broadcast; ~12 MB per bucket at 2^10 buckets).
   *
   * Design:
-  *  - bucket(url) is a pure hash (independent of the sketch's bit hashes),
-  *    computable both executor-side and plan-side ([[graft.plans.planfns.url_shard]]).
+  *  - '''bucket(url) is `pmod(hash(url), B)` — Spark's own HashPartitioning
+  *    id function, THE SAME key as [[SeenUrlStore.bucketCol]]''': a frame
+  *    already hash-partitioned by url (every post-groupBy/distinct candidate
+  *    frame in the engine) arrives with each bucket wholly inside one task,
+  *    so with matching bucket count the probe needs NO exchange of its own
+  *    (`assumeDistributed`) — and because the probe preserves the incoming
+  *    distribution, the exact seen-store probe downstream consumes the SAME
+  *    single candidate exchange. Murmur3 (Spark `hash`) is independent of
+  *    the sketch's own bit-hash family, so sharding does not bias per-shard
+  *    bit distribution.
   *  - '''build/merge''': the delta's urls are repartitioned BY BUCKET, so each
   *    task owns whole buckets; it folds its urls into the existing bucket file
   *    and atomically replaces it (FileContext rename OVERWRITE). No driver
   *    materialization — the full sketch never exists in any single JVM.
-  *  - '''probe''': candidates are repartitioned by the same bucket key; each
-  *    task loads only the shard files for the buckets it holds (a map-side
-  *    join against the sketch table). Memory per task = O(one shard).
+  *  - '''probe''': rows stream one at a time; each task loads a bucket's
+  *    shard file on first touch and keeps it for the task (exactly one
+  *    bucket per task when routed or aligned; memory per task = O(one shard)
+  *    per distinct bucket touched).
   *  - Missing shard file ⇒ empty sketch ⇒ `maybe_seen = false`, which is
   *    exact: a bucket file exists iff some seen url hashed to it, and
   *    replacement is atomic. Bloom adds are idempotent, so task retries and
@@ -38,19 +49,25 @@ final class BloomShardStore(val dir: String, val numBuckets: Int,
   require(numBuckets > 0)
   import BloomShardStore._
 
-  private def shardPath(b: Int): String = s"$dir/bucket-$b.bloom"
+  /** The bucket of a url Column — `pmod(hash(url), B)`, Spark's
+    * HashPartitioning id (see class doc; matches [[SeenUrlStore.bucketCol]]).
+    */
+  def bucketCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(hash(url), lit(numBuckets))
 
   /** Fold `urls` (a single `url` string column) into the shard files. */
   def mergeDelta(urls: DataFrame): Unit = {
     require(urls.columns.length == 1,
       s"mergeDelta expects a single url column, got ${urls.columns.mkString(",")}")
     val (d, bits, k, nb) = (dir, bitsPerShard, numHashes, numBuckets)
+    val sconf = new SerializableHadoopConf(
+      urls.sparkSession.sparkContext.hadoopConfiguration)
     urls
-      .withColumn("__b", graft.plans.planfns.url_shard(col(urls.columns.head), nb))
+      .withColumn("__b", bucketCol(col(urls.columns.head)))
       .repartition(nb, col("__b"))
       .sortWithinPartitions("__b")
       .foreachPartition { (it: Iterator[Row]) =>
-        val conf = new Configuration()
+        val conf = sconf.value
         var cur = -1
         var sk: BloomSketch = null
         def flush(): Unit = if (sk != null) writeShard(s"$d/bucket-$cur.bloom", sk, conf)
@@ -68,24 +85,38 @@ final class BloomShardStore(val dir: String, val numBuckets: Int,
       }
   }
 
-  /** Adds a `maybe_seen` boolean to `df`, routing each row to its bucket's
-    * shard file. `false` ⇒ definitely unseen (no false negatives).
+  /** Adds a `maybe_seen` boolean to `df`, resolving each row against its
+    * bucket's shard file. `false` ⇒ definitely unseen (no false negatives).
+    * `assumeDistributed = true` skips the co-locating exchange (pass only
+    * when `df` is already url-hash-partitioned with partition count ==
+    * numBuckets; correctness never depends on it — each task loads whatever
+    * bucket a row computes to, it only bounds duplicate shard loads).
     */
-  def probe(df: DataFrame, urlCol: String): DataFrame = {
+  def probe(df: DataFrame, urlCol: String,
+      assumeDistributed: Boolean = false): DataFrame = {
     val (d, nb) = (dir, numBuckets)
     val outSchema = df.schema.add("maybe_seen", BooleanType, nullable = false)
     val width = df.schema.size
     val urlIdx = df.schema.fieldIndex(urlCol) // url may sit anywhere in df
-    df.withColumn("__b", graft.plans.planfns.url_shard(col(urlCol), nb))
-      .repartition(nb, col("__b"))
-      .sortWithinPartitions("__b")
+    val sconf = new SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val keyed = df.withColumn("__b", bucketCol(col(urlCol)))
+    val routed =
+      if (assumeDistributed) keyed
+      else keyed.repartition(nb, col("__b"))
+    routed
       .mapPartitions { it =>
-        val conf = new Configuration()
-        var cur = -1
-        var sk: Option[BloomSketch] = None
+        val conf = sconf.value
+        // one sketch per distinct bucket this task touches — exactly one in
+        // the routed and aligned shapes (bucket id == partition id)
+        val open = new java.util.HashMap[Int, Option[BloomSketch]]()
         it.map { row =>
           val b = row.getInt(width)
-          if (b != cur) { cur = b; sk = readShard(s"$d/bucket-$b.bloom", conf) }
+          var sk = open.get(b)
+          if (sk == null) {
+            sk = readShard(s"$d/bucket-$b.bloom", conf)
+            open.put(b, sk)
+          }
           val u = row.getString(urlIdx)
           val flag = sk.exists(_.mightContain(u))
           Row.fromSeq(row.toSeq.dropRight(1) :+ flag)
@@ -103,22 +134,6 @@ final class BloomShardStore(val dir: String, val numBuckets: Int,
 }
 
 object BloomShardStore {
-
-  /** Shard router — independent of BloomSketch's bit hashes (different salt
-    * into the same splitmix finalizer), so sharding does not bias per-shard
-    * bit distribution. Pure in the url bytes; the plan-side twin is
-    * [[graft.plans.UrlShard]].
-    */
-  def bucketOf(bytes: Array[Byte], numBuckets: Int): Int = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-    var z = (h ^ 0x5851f42d4c957f2dL) + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^= (z >>> 31)
-    ((z & Long.MaxValue) % numBuckets).toInt
-  }
 
   /** Atomic shard replace: tmp write + FileContext rename(OVERWRITE). The
     * tmp name must be GLOBALLY unique — a speculative/retried copy of the

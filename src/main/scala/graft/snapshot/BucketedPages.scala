@@ -44,6 +44,12 @@ final class BucketedPages private (
     case None => full
   }
 
+  /** How many buckets can contain a robots.txt page, when the manifest
+    * carries the stat (same superset filter as the engine's url probe, so a
+    * reader can skip the probe job entirely: 0 ⇒ provably no robots pages).
+    */
+  def robotsBucketCount: Option[Int] = robotsBuckets.map(_.size)
+
   /** The bucket of a url Column — MUST match the layout's write-side key. */
   def bucketExpr(url: Column): Column =
     pmod(xxhash64(url), lit(numBuckets)).cast("int")
