@@ -37,6 +37,18 @@ object SparkEntry {
 
   private def t(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
+  /** Spread a narrow scan across the cluster before CPU-heavy per-row work:
+    * the sf tables are single small parquet files, so their scan is ONE
+    * split — one task computes every signature while the other cores idle
+    * (guide §2.5: input parallelism, fix right after the read). No-op when
+    * the input already carries ≥ defaultParallelism partitions (the
+    * real-scale shape); when it fires, rows move once before the heavy work.
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+      df.repartition(s.sparkContext.defaultParallelism)
+    else df
+
   /** Stage a parquet table for the streaming queries: its data file(s)
     * copied `copies` times into a fresh dir with strictly staggered mtimes —
     * the file stream source orders by modification time, so with
@@ -52,10 +64,14 @@ object SparkEntry {
     import java.nio.file.{Path, Paths}
     val dir = Files.createTempDirectory("graft-stream-src-")
     val srcPath = Paths.get(src)
+    // Files.list returns a stream holding a directory fd — close it (Using)
+    // or every staged streaming run leaks one
+    def listParquet(p: Path): Seq[Path] =
+      scala.util.Using.resource(java.nio.file.Files.list(p))(
+        _.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString))
     val parts: Seq[Path] =
-      if (java.nio.file.Files.isDirectory(srcPath))
-        java.nio.file.Files.list(srcPath).iterator().asScala.toSeq
-          .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+      if (java.nio.file.Files.isDirectory(srcPath)) listParquet(srcPath)
       else Seq(srcPath)
     var batch = 0
     val t0 = System.currentTimeMillis() - 7200000L
@@ -70,12 +86,11 @@ object SparkEntry {
     appendBatch.foreach { df =>
       val side = Files.createTempDirectory("graft-stream-sentinel-")
       df.coalesce(1).write.mode("overwrite").parquet(side.toString)
-      java.nio.file.Files.list(side).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
-          val dst = dir.resolve(f"b$batch%03d-s-${f.getFileName.toString}")
-          Files.copy(f, dst)
-          Files.setLastModifiedTime(dst, FileTime.fromMillis(t0 + batch * 60000L))
-        }
+      listParquet(side).foreach { f =>
+        val dst = dir.resolve(f"b$batch%03d-s-${f.getFileName.toString}")
+        Files.copy(f, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(t0 + batch * 60000L))
+      }
     }
     (dir.toString, parts.size)
   }
@@ -310,12 +325,12 @@ object SparkEntry {
         fingerprint(col("text")).as("fp64"))
     },
     "q_minhash_dedup" -> { (s, d) =>
-      Dedup.minHashLsh(s.read.parquet(t(d, "documents")), "doc_id", "text",
-        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      Dedup.minHashLsh(spread(s, s.read.parquet(t(d, "documents"))), "doc_id",
+        "text", shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
     },
     "q_simhash_dedup" -> { (s, d) =>
-      Dedup.simHash(s.read.parquet(t(d, "documents")), "doc_id", "text",
-        maxHamming = 3)
+      Dedup.simHash(spread(s, s.read.parquet(t(d, "documents"))), "doc_id",
+        "text", maxHamming = 3)
     },
     "q_embed_neardup" -> { (s, d) =>
       // synthetic embeddings are near-orthogonal (max pairwise cosine ≈ 0.51)

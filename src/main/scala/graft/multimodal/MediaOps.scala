@@ -196,7 +196,16 @@ object MediaOps {
       maxFrames: Int = 8): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
+    // decode is CPU-bound per row, but a small corpus arrives as one parquet
+    // split — a single task would decode the whole table on one core while
+    // the rest of the cluster idles (guide §2.5 "input skew: repartition
+    // immediately after the read"). Spread only when the scan is narrower
+    // than the cluster: at real scale the input already carries ≥ cores
+    // splits and this is a no-op; when it fires, each blob moves exactly once.
+    val par = spark.sparkContext.defaultParallelism
+    val src =
+      if (media.rdd.getNumPartitions < par) media.repartition(par) else media
+    src.mapPartitions { it =>
       it.flatMap { row =>
         if (row.media == null) Iterator.empty
         else row.meta.codec match {

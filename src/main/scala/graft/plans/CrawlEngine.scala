@@ -716,31 +716,29 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       val sStateF =
         if (hasRobots) Future {
           val disallowed = gated.filter(!col("allowed")).select("url")
-          val newSuppressed =
-            if (useSeenStore)
-              suppressedStore.filterUnseen(disallowed, "url", epoch - 1,
+          if (useSeenStore) {
+            val newSuppressed = suppressedStore
+              .filterUnseen(disallowed, "url", epoch - 1,
                 assumeDistributed =
                   gatedAligned && suppressedStore.numBuckets == nShuffle)
-            else disallowed
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            // the parquet delta and the shard-index delta are independent
+            // consumers of the (O(delta)) cached frame — write them
+            // concurrently; the epoch pays max(two writes), not their sum
+            val pF = Future(store.writeDelta("suppressed", epoch,
+              newSuppressed, Some(snapshot.tables("suppressed"))))
+            val stF = Future(suppressedStore.writeDelta(newSuppressed, epoch))
+            Await.result(stF, scala.concurrent.duration.Duration.Inf)
+            val ss = Await.result(pF, scala.concurrent.duration.Duration.Inf)
+            newSuppressed.unpersist()
+            ss
+          } else {
+            val newSuppressed = disallowed
               .join(suppressedSoFar.select("url"), Seq("url"), "left_anti")
               .distinct()
-          val ss = store.writeDelta("suppressed", epoch, newSuppressed,
-            Some(snapshot.tables("suppressed")))
-          if (useSeenStore) {
-            if (ss.deltaRows > 0) {
-              // index delta from the just-written parquet files (1-hop
-              // lineage — no re-probe of the store to recompute the frame)
-              val parentPaths = snapshot.tables("suppressed").files.toSet
-              val deltaFiles = ss.files.filterNot(parentPaths)
-              suppressedStore.writeDelta(
-                spark.read.schema(org.apache.spark.sql.types.DataType
-                  .fromJson(ss.schemaJson)
-                  .asInstanceOf[org.apache.spark.sql.types.StructType])
-                  .parquet(deltaFiles: _*).select("url"), epoch)
-            } else suppressedStore.markEpoch(
-              spark.sparkContext.hadoopConfiguration, epoch)
+            store.writeDelta("suppressed", epoch, newSuppressed,
+              Some(snapshot.tables("suppressed")))
           }
-          ss
         } else scala.concurrent.Future.successful(
           snapshot.tables("suppressed").copy(deltaRows = 0L))
       lap("suppressed_write_launch")
