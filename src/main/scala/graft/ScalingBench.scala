@@ -63,10 +63,20 @@ object ScalingBench {
       // (prior ⊇ corpus, candidates genuinely already-seen)
       case "aged" | "agedanti" =>
         Bench.agedKernel(spark, n, frontierN, epochFrontier, cores, mode == "aged")
+      // bucket-local SUPPRESSED-state evidence: one steady epoch over a
+      // robots crawl aged by arg5 prior suppressed urls — "agedsup" probes
+      // the suppressed shard store, "agedsupanti" is the left_anti control
+      case "agedsup" | "agedsupanti" =>
+        graft.tools.BenchExtra.agedSuppressedKernel(spark, n, frontierN,
+          cores, mode == "agedsup")
       case _ => Bench.steadyKernel(spark, n, cores)
     }
     if (mode == "pruned" || mode == "prunedfull") once(40000L)
-    else if (mode == "aged" || mode == "agedanti") {
+    else if (mode == "agedsup" || mode == "agedsupanti") {
+      val w = graft.tools.BenchExtra.agedSuppressedKernel(spark, 20000L,
+        math.min(frontierN, 100000L), cores, mode == "agedsup")
+      require(w._2 > 0)
+    } else if (mode == "aged" || mode == "agedanti") {
       val w = Bench.agedKernel(spark, 20000L, math.min(frontierN, 100000L),
         if (epochFrontier > 0) 200L else 0L,
         cores, mode == "aged") // warmup at small scale, same code paths

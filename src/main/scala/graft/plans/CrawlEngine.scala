@@ -698,6 +698,7 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
               coalesce(robots_allowed(col("url"), col("prefixes"), col("allows")), lit(true)))
             .persist(StorageLevel.MEMORY_AND_DISK)
         else inDom.withColumn("allowed", lit(true))
+      lap("gate_build")
       // the suppressed write overlaps the candidates chain below (the same
       // action-thread pattern as visited/links: both consumers share the
       // persisted `gated` cache, and the frontier chain — the only reader of

@@ -46,6 +46,16 @@ object SoakCheck {
     }.getOrElse(Seq(s"https://$domain"))
     val depthPriority =
       Option(node.get("depth_priority")).exists(_.asBoolean(false))
+    // optional compaction knobs (engine-only — they cannot change results,
+    // which is exactly what the scenario asserts): a committed scenario with
+    // tight thresholds exercises seen-shard + links compaction inside every
+    // `sbt test`, not just in the dedicated compaction suites
+    val seenCompactEvery =
+      Option(node.get("seen_compact_every")).map(_.asInt()).getOrElse(64)
+    val linksCompactFactor =
+      Option(node.get("links_compact_factor")).map(_.asDouble()).getOrElse(3.0)
+    val linksCompactMinRows =
+      Option(node.get("links_compact_min_rows")).map(_.asLong()).getOrElse(1000000L)
 
     val pages: DataFrame = lines(dir.resolve("pages.tsv")).map { line =>
       val Array(url, b64) = line.split("\t", -1)
@@ -57,7 +67,10 @@ object SoakCheck {
     val wh = Files.createTempDirectory(s"graft-soak-$name-").toString
     val result = new CrawlEngine(spark,
       CrawlConfig(domain, budget, numPartitions = 4,
-        depthPriority = depthPriority)).run(pages, seeds, wh)
+        depthPriority = depthPriority,
+        seenCompactEvery = seenCompactEvery,
+        linksCompactFactor = linksCompactFactor,
+        linksCompactMinRows = linksCompactMinRows)).run(pages, seeds, wh)
 
     val fails = Seq.newBuilder[String]
     def diff(what: String, got: Seq[String], want: Seq[String]): Unit =

@@ -81,6 +81,23 @@ class BloomModeSpec extends AnyFunSuite {
         d.listFiles().exists(_.getName.startsWith("c"))), "no base files written")
   }
 
+  test("resume with a changed seen-store bucket count rebuilds the index " +
+    "from the authoritative parquet (trace exact)") {
+    // the store's _meta.json records its bucket count; a resume under a
+    // different count must NOT trust the mis-bucketed shards — the gate
+    // clears and rebuilds from visited, and the crawl stays exact
+    val wh = Files.createTempDirectory("graft-bucketchange-").toString
+    new CrawlEngine(spark, CrawlConfig(domain, numPartitions = 4,
+      seenStoreBuckets = 3, maxEpochs = 8))
+      .run(cyclicPages, s"https://$domain/p/0", wh)
+    new graft.snapshot.SnapshotStore(spark, wh).truncateAfter(5)
+    val resumed = new CrawlEngine(spark, CrawlConfig(domain, numPartitions = 4,
+      seenStoreBuckets = 7)).run(cyclicPages, s"https://$domain/p/0", wh)
+    val got = (resumed.trace.select("epoch", "url").as[(Int, String)].collect().toSeq,
+      resumed.links.select("url").orderBy("url").as[String].collect().toSeq)
+    assert(got == plain)
+  }
+
   test("warm-up: bloom activating mid-crawl never re-visits early URLs") {
     // activates around epoch 3; pages 0..2 were fetched before activation
     val (trace, links) = crawl(CrawlConfig(domain, numPartitions = 4,

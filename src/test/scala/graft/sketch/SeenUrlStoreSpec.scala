@@ -129,6 +129,71 @@ class SeenUrlStoreSpec extends AnyFunSuite {
     assert(dirs.exists(d => d.listFiles().exists(_.getName.startsWith("c"))))
   }
 
+  test("streaming compaction: a bucket far past the bulk threshold merges " +
+    "exactly (k-way merge is O(1) heap in bucket size)") {
+    val store = freshStore(buckets = 1) // one bucket holds everything
+    val wide = "x" * 120
+    def big(from: Int, n: Int): Seq[String] =
+      (from until from + n).map(i => s"https://big.example.com/$wide/$i")
+    // merged data region ≈ 11 MB — well past the 4 MB bulk-load cap, so the
+    // old read-all+sort compactor would have materialized it whole
+    store.writeDelta(big(0, 40000).toDF("url"), 0)
+    store.writeDelta(big(40000, 40000).toDF("url"), 1)
+    store.compact(spark, 1)
+    val dirs = new java.io.File(store.dir).listFiles().filter(_.isDirectory)
+    assert(dirs.exists(_.listFiles().exists(_.getName == "c1.seen")), "no base")
+    val miss = (0 until 100).map(i => s"https://big.example.com/$wide/m$i")
+    val probe = (big(0, 100) ++ big(79900, 100) ++ miss).toDF("url")
+    assert(store.filterUnseen(probe, "url", 1).as[String].collect().toSet
+      == miss.toSet)
+  }
+
+  test("re-compaction at the target epoch rebuilds from deltas: a stale base " +
+    "left by a truncated timeline is overwritten, never folded into itself") {
+    val store = freshStore(buckets = 2)
+    store.writeDelta(urls(0, 200).toDF("url"), 0)
+    store.writeDelta(urls(200, 200).toDF("url"), 1) // old-timeline epoch 1
+    store.compact(spark, 1) // c1 = e0 ∪ old-e1
+    // truncate-resume: the re-run of epoch 1 visits a DIFFERENT url set and
+    // deterministically overwrites its delta…
+    store.writeDelta(urls(1000, 200).toDF("url"), 1)
+    // …and re-compaction must rebuild c1 from e0 ∪ new-e1 (folding the stale
+    // base into itself would keep old-e1 urls "seen" forever)
+    store.compact(spark, 1)
+    val probe = (urls(200, 200) ++ urls(1000, 200)).toDF("url")
+    assert(store.filterUnseen(probe, "url", 1).as[String].collect().toSet
+      == urls(200, 200).toSet, "stale-base urls survived re-compaction")
+  }
+
+  test("dropBasesAbove removes later-timeline bases; deltas answer exactly") {
+    val store = freshStore(buckets = 2)
+    store.writeDelta(urls(0, 200).toDF("url"), 0)
+    store.writeDelta(urls(200, 200).toDF("url"), 1)
+    store.compact(spark, 1)
+    store.dropBasesAbove(spark.sparkContext.hadoopConfiguration, 0)
+    val dirs = new java.io.File(store.dir).listFiles().filter(_.isDirectory)
+    assert(!dirs.exists(_.listFiles().exists(_.getName.startsWith("c"))),
+      "base above the resume epoch survived")
+    // membership unchanged — the per-epoch deltas are never deleted
+    assert(store.filterUnseen(urls(0, 400).toDF("url"), "url", 1).count() == 0)
+  }
+
+  test("meta watermark gates resume: bucket-count or coverage mismatch " +
+    "invalidates the store") {
+    val store = freshStore(buckets = 4)
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(!store.validFor(conf, 0), "no meta yet must not be trusted")
+    store.writeDelta(urls(0, 50).toDF("url"), 0)
+    assert(store.validFor(conf, 0))
+    assert(!store.validFor(conf, 3), "watermark behind the resume epoch")
+    store.markEpoch(conf, 3) // empty epochs advance the watermark
+    assert(store.validFor(conf, 3))
+    val other = new SeenUrlStore(store.dir, 8) // same dir, other bucket count
+    assert(!other.validFor(conf, 0), "bucket-count mismatch must invalidate")
+    other.clear(conf)
+    assert(!store.hasAnyData(conf) && !store.validFor(conf, 0))
+  }
+
   test("empty store and bucket-less probes pass everything through") {
     val store = freshStore()
     assert(!store.hasAnyData(spark.sparkContext.hadoopConfiguration))
