@@ -778,12 +778,19 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
       // the cache instead of recomputing. (An observe() on the candidates
       // plan would not surface through the cache boundary —
       // InMemoryRelation swallows the CollectMetrics node.)
-      val candidatesIn = candidates.count()
-      lap("candidates_count")
       val visitedAll = visitedSoFar.select("url")
         .union(fetchNow.select("url"))
       val seenCountNow = visitedRows + frontierCount // upper bound estimate
-      if (candidatesIn > 0) {
+      // the sketch merge's whole decision tree depends only on pre-epoch
+      // state (seen estimate, activation flags) — never on the candidate
+      // count — so it runs on its own action thread OVERLAPPED with the
+      // candidates compute+count below, instead of serializing a
+      // treeAggregate/shard merge of the epoch's fetch between the count
+      // and the frontier write. (The fixpoint epoch now pays one final
+      // small merge the old count-gated form skipped; bloom adds are
+      // idempotent and every non-final epoch stops paying the merge's
+      // wall-clock.) The vars it mutates are read only after the Await.
+      val sketchMergeF: Future[Unit] = Future {
         if (sketchActive && !fileProbe && !useCuckoo && seenCountNow > sketchCapacity) {
           // outgrown: a bloom at >1× its design load answers maybe for nearly
           // everything (correct — the anti-join is authoritative — but it
@@ -800,6 +807,10 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
           sketchActive = true
         }
       }
+      val candidatesIn = candidates.count()
+      lap("candidates_count")
+      Await.result(sketchMergeF, scala.concurrent.duration.Duration.Inf)
+      lap("sketch_merge_wait")
       val bloomBcast =
         if (candidatesIn > 0 && sketchActive && !fileProbe && !useCuckoo)
           spark.sparkContext.broadcast(seenSketch)
