@@ -37,6 +37,65 @@ object SparkEntry {
 
   private def t(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
+  /** Exact max of a timestamp column straight from the parquet FOOTER
+    * statistics — no Spark job (guide §6: make file metadata do the work).
+    * The sessionize sentinel only needs a timestamp past every event's
+    * session window, and footer column statistics carry the exact max.
+    * Returns None (caller falls back to the aggregation) when any file
+    * lacks usable INT64 micros/millis timestamp statistics.
+    */
+  private def footerMaxTs(s: SparkSession, path: String,
+      column: String): Option[java.sql.Timestamp] = try {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val hconf = s.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(hconf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      else Seq(p)
+    var maxMicros = Long.MinValue
+    var ok = files.nonEmpty
+    files.foreach { fp =>
+      if (ok) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(fp, hconf))
+        try {
+          val schema = r.getFooter.getFileMetaData.getSchema
+          val toMicros: Long => Long =
+            if (!schema.containsField(column)) { ok = false; identity }
+            else schema.getType(schema.getFieldIndex(column))
+              .getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.MICROS => identity
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => _ * 1000L
+                  case _ => ok = false; identity
+                }
+              case _ => ok = false; identity
+            }
+          if (ok) r.getFooter.getBlocks.forEach { b =>
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == column).orNull
+            val st = if (cc == null) null else cc.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) ok = false
+            else st.genericGetMax match {
+              case l: java.lang.Long =>
+                maxMicros = math.max(maxMicros, toMicros(l.longValue()))
+              case _ => ok = false
+            }
+          }
+        } finally r.close()
+      }
+    }
+    if (ok && maxMicros > Long.MinValue)
+      Some(new java.sql.Timestamp(maxMicros / 1000L))
+    else None
+  } catch { case _: Exception => None }
+
   /** Spread a narrow scan across the cluster before CPU-heavy per-row work:
     * the sf tables are single small parquet files, so their scan is ONE
     * split — one task computes every signature while the other cores idle
@@ -260,7 +319,12 @@ object SparkEntry {
       // the lag/cumsum DuckDB twin hashes bit-for-bit.
       import s.implicits._
       val src = s.read.parquet(t(d, "events"))
-      val maxTs = src.agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+      // the sentinel only needs to sit past every event's session window; the
+      // parquet footer's exact column max provides it without a full-scan
+      // job (sub-ms truncation is swamped by the margin; a too-large
+      // sentinel is equally correct — its rows are filtered out)
+      val maxTs = footerMaxTs(s, t(d, "events"), "ts").getOrElse(
+        src.agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0))
       val sentinelTs = new java.sql.Timestamp(
         maxTs.getTime + (30 + 10 + 60) * 60000L) // gap + watermark + margin
       val st = (c: String) => src.schema(c).dataType
