@@ -399,30 +399,37 @@ final class CrawlEngine(spark: SparkSession, config: CrawlConfig) {
     // delays). NaN needs the explicit isnan guard: Spark SQL orders NaN
     // greater than every value, so `NaN > 0.0` is TRUE here while Python's
     // `nan > 0` is False (no cap); +inf passes both and caps at 1.
-    val delayBudgets: Option[DataFrame] =
-      if (!hasRobots) None
+    // Both run-start probes below only READ the materialized robots cache
+    // and are independent — run them concurrently (guide §2.6), so a robots
+    // crawl's setup pays max(two jobs), not their sum.
+    val (delayBudgets, collectedRules): (Option[DataFrame],
+        Map[String, Seq[graft.robots.Robots.Rule]]) =
+      if (!hasRobots) (None, Map.empty)
       else {
-        val db = robots
-          .filter(col("crawl_delay") > 0.0 && !isnan(col("crawl_delay")))
-          .select(col("host"),
-            crawl_delay_budget(col("crawl_delay"), config.crawlDelayWindowSec)
-              .as("delay_budget"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        if (db.count() == 0) { db.unpersist(); None } else Some(db)
-      }
-
-    // Seed gating needs rules only for the SEED hosts — semi-join before
-    // collecting, so a 10^8-host robots table never reaches the driver.
-    val collectedRules: Map[String, Seq[graft.robots.Robots.Rule]] =
-      if (!hasRobots) Map.empty
-      else {
-        val seedHosts = seedUrls.map(graft.robots.Robots.hostKey).distinct.toDF("host")
-        robots.join(broadcast(seedHosts), Seq("host"), "left_semi")
-          .select("host", "prefixes", "allows")
-          .as[(String, Array[String], Array[Boolean])].collect()
-          .map { case (h, ps, as) =>
-            h -> ps.zip(as).map { case (p, a) => graft.robots.Robots.Rule(p, a) }.toSeq
-          }.toMap
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val dbF = Future {
+          val db = robots
+            .filter(col("crawl_delay") > 0.0 && !isnan(col("crawl_delay")))
+            .select(col("host"),
+              crawl_delay_budget(col("crawl_delay"), config.crawlDelayWindowSec)
+                .as("delay_budget"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          if (db.count() == 0) { db.unpersist(); None } else Some(db)
+        }
+        // Seed gating needs rules only for the SEED hosts — semi-join before
+        // collecting, so a 10^8-host robots table never reaches the driver.
+        val rulesF = Future {
+          val seedHosts = seedUrls.map(graft.robots.Robots.hostKey).distinct.toDF("host")
+          robots.join(broadcast(seedHosts), Seq("host"), "left_semi")
+            .select("host", "prefixes", "allows")
+            .as[(String, Array[String], Array[Boolean])].collect()
+            .map { case (h, ps, as) =>
+              h -> ps.zip(as).map { case (p, a) => graft.robots.Robots.Rule(p, a) }.toSeq
+            }.toMap
+        }
+        (Await.result(dbF, Duration.Inf), Await.result(rulesF, Duration.Inf))
       }
     def seedAllowed(u: String): Boolean =
       graft.robots.Robots.allowed(u,
